@@ -1,0 +1,10 @@
+"""Inference API: Interpolator wrapper and recursive midpoint drivers."""
+
+from .interpolator import Interpolator, load_interpolator
+from .recursion import (interpolate_frontier, interpolate_recursively,
+                        num_interpolated_frames, num_output_frames)
+
+__all__ = [
+    'Interpolator', 'interpolate_frontier', 'interpolate_recursively',
+    'load_interpolator', 'num_interpolated_frames', 'num_output_frames',
+]

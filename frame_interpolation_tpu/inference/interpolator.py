@@ -1,0 +1,164 @@
+"""High-level frame interpolation inference API.
+
+TPU-native replacement for the reference's SavedModel wrapper
+(eval/interpolator.py:129-209 in google-research/frame-interpolation).
+Capabilities match the reference — alignment padding, optional patch
+tiling for high resolution — with three TPU-first design changes:
+
+  * The forward pass is a jitted pure function of (params, x0, x1, time),
+    cached per padded input shape. Shape bucketing (pad to the alignment
+    grid) keeps recursive invocation from triggering recompiles.
+  * Patch tiling runs ALL patches as one device batch instead of the
+    reference's sequential batch-1 loop (eval/interpolator.py:199-202):
+    the fold/unfold is a pure layout transform and the patch batch keeps
+    the MXU fed.
+  * Inputs are transferred once; recursion-produced frames can stay
+    device-resident (`interpolate_device` returns jax arrays).
+
+The model ignores the `time` value and always predicts the midpoint
+(reference models/film_net/interpolator.py:157-165); other timestamps come
+from recursive invocation, exactly as in the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.film_net import FilmNet
+from ..ops import tiling
+from ..options import Options
+
+
+class Interpolator:
+  """Generates the frame between two frames with the film_net model.
+
+  Usage:
+    interp = Interpolator(params, options, align=64)
+    mid = interp(x0_batch, x1_batch, dt_batch)   # numpy in, numpy out
+
+  Matches the reference API (eval/interpolator.py): `interpolate` applies
+  alignment padding only; `__call__` additionally applies patch tiling when
+  `block_shape` spans more than one block.
+  """
+
+  def __init__(self,
+               params: Any,
+               options: Options,
+               align: Optional[int] = 64,
+               block_shape: Optional[Sequence[int]] = None) -> None:
+    self._options = options
+    self._params = params
+    self._align = align or None
+    self._block_shape = tuple(block_shape) if block_shape else None
+    model = FilmNet(options)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def _forward(params, x0, x1, time):
+      out = model.apply({'params': params}, x0, x1, time)
+      return out['image']
+
+    self._forward = _forward
+
+    @jax.jit
+    def _forward_all(params, x0, x1, time):
+      return model.apply({'params': params}, x0, x1, time)
+
+    self._forward_all = _forward_all
+
+  @property
+  def options(self) -> Options:
+    return self._options
+
+  @property
+  def params(self) -> Any:
+    return self._params
+
+  # ---- device-resident path -------------------------------------------------
+
+  def interpolate_device(self, x0: jnp.ndarray, x1: jnp.ndarray,
+                         dt: jnp.ndarray) -> jnp.ndarray:
+    """Pads to alignment, runs the model, crops back. Stays on device.
+
+    Args:
+      x0, x1: (B, H, W, 3) float32 arrays in [0, 1].
+      dt: (B,) sub-frame times (the model fixes t=0.5 internally).
+
+    Returns:
+      (B, H, W, 3) interpolated frames as a device array.
+    """
+    if self._align is not None:
+      x0p, bbox = tiling.pad_to_align(x0, self._align)
+      x1p, _ = tiling.pad_to_align(x1, self._align)
+    else:
+      x0p, x1p, bbox = x0, x1, None
+    time = dt[..., None].astype(jnp.float32)
+    image = self._forward(self._params, x0p, x1p, time)
+    if bbox is not None:
+      image = tiling.crop_to_bounding_box(image, **bbox)
+    return image
+
+  def interpolate_all_outputs(self, x0, x1, dt) -> Dict[str, Any]:
+    """Full forward returning aux outputs (flows, warps); pads/crops image."""
+    if self._align is not None:
+      x0p, bbox = tiling.pad_to_align(jnp.asarray(x0), self._align)
+      x1p, _ = tiling.pad_to_align(jnp.asarray(x1), self._align)
+    else:
+      x0p, x1p, bbox = jnp.asarray(x0), jnp.asarray(x1), None
+    time = jnp.asarray(dt)[..., None].astype(jnp.float32)
+    outputs = dict(self._forward_all(self._params, x0p, x1p, time))
+    if bbox is not None:
+      outputs['image'] = tiling.crop_to_bounding_box(outputs['image'], **bbox)
+    return outputs
+
+  def call_device(self, x0: jnp.ndarray, x1: jnp.ndarray,
+                  dt: jnp.ndarray) -> jnp.ndarray:
+    """`interpolate_device` with optional patch tiling (batched, one call)."""
+    if self._block_shape is not None and int(np.prod(self._block_shape)) > 1:
+      x0_patches = tiling.image_to_patches(x0, self._block_shape)
+      x1_patches = tiling.image_to_patches(x1, self._block_shape)
+      num_patches = x0_patches.shape[0]
+      dt_patches = jnp.broadcast_to(dt[:1], (num_patches,))
+      # One batched device call over all patches — the reference loops
+      # sequentially at batch 1 here (eval/interpolator.py:199-202).
+      out = self.interpolate_device(x0_patches, x1_patches, dt_patches)
+      return tiling.patches_to_image(out, self._block_shape)
+    return self.interpolate_device(x0, x1, dt)
+
+  # ---- reference-compatible numpy API ---------------------------------------
+
+  def interpolate(self, x0: np.ndarray, x1: np.ndarray,
+                  dt: np.ndarray) -> np.ndarray:
+    """Reference-parity interpolate: numpy in, numpy out."""
+    out = self.interpolate_device(
+        jnp.asarray(x0, jnp.float32), jnp.asarray(x1, jnp.float32),
+        jnp.asarray(dt, jnp.float32))
+    return np.asarray(out)
+
+  def __call__(self, x0: np.ndarray, x1: np.ndarray,
+               dt: np.ndarray) -> np.ndarray:
+    out = self.call_device(
+        jnp.asarray(x0, jnp.float32), jnp.asarray(x1, jnp.float32),
+        jnp.asarray(dt, jnp.float32))
+    return np.asarray(out)
+
+
+def load_interpolator(model_path: str,
+                      align: Optional[int] = 64,
+                      block_shape: Optional[Sequence[int]] = None,
+                      dtype_policy: Optional[str] = None) -> Interpolator:
+  """Loads an Interpolator from a saved parameter bundle.
+
+  Accepts either this framework's native orbax/msgpack bundles
+  (io/params_io.py) or a TF2 SavedModel / checkpoint directory from the
+  reference release (io/tf_import.py).
+  """
+  from ..io import params_io  # local import: keeps inference import-light
+  params, options = params_io.load_params(model_path)
+  if dtype_policy is not None and dtype_policy != options.dtype_policy:
+    import dataclasses
+    options = dataclasses.replace(options, dtype_policy=dtype_policy)
+  return Interpolator(params, options, align=align, block_shape=block_shape)
