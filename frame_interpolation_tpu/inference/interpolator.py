@@ -56,16 +56,34 @@ class Interpolator:
     self._block_shape = tuple(block_shape) if block_shape else None
     model = FilmNet(options)
 
-    @functools.partial(jax.jit, static_argnums=())
-    def _forward(params, x0, x1, time):
+    # Pad -> model -> crop runs as ONE jitted program: pad amounts are
+    # static per input shape (jit specializes on shapes), so nothing
+    # dispatches eagerly — important on remote-tunneled TPU devices.
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def _forward(params, x0, x1, time, align):
+      if align is not None:
+        x0, bbox = tiling.pad_to_align(x0, align)
+        x1, _ = tiling.pad_to_align(x1, align)
       out = model.apply({'params': params}, x0, x1, time)
-      return out['image']
+      image = out['image']
+      if align is not None:
+        image = tiling.crop_to_bounding_box(image, **bbox)
+      return image
 
     self._forward = _forward
 
-    @jax.jit
-    def _forward_all(params, x0, x1, time):
-      return model.apply({'params': params}, x0, x1, time)
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def _forward_all(params, x0, x1, time, align):
+      if align is not None:
+        x0p, bbox = tiling.pad_to_align(x0, align)
+        x1p, _ = tiling.pad_to_align(x1, align)
+      else:
+        x0p, x1p, bbox = x0, x1, None
+      outputs = dict(model.apply({'params': params}, x0p, x1p, time))
+      if bbox is not None:
+        outputs['image'] = tiling.crop_to_bounding_box(
+            outputs['image'], **bbox)
+      return outputs
 
     self._forward_all = _forward_all
 
@@ -90,29 +108,14 @@ class Interpolator:
     Returns:
       (B, H, W, 3) interpolated frames as a device array.
     """
-    if self._align is not None:
-      x0p, bbox = tiling.pad_to_align(x0, self._align)
-      x1p, _ = tiling.pad_to_align(x1, self._align)
-    else:
-      x0p, x1p, bbox = x0, x1, None
     time = dt[..., None].astype(jnp.float32)
-    image = self._forward(self._params, x0p, x1p, time)
-    if bbox is not None:
-      image = tiling.crop_to_bounding_box(image, **bbox)
-    return image
+    return self._forward(self._params, x0, x1, time, self._align)
 
   def interpolate_all_outputs(self, x0, x1, dt) -> Dict[str, Any]:
     """Full forward returning aux outputs (flows, warps); pads/crops image."""
-    if self._align is not None:
-      x0p, bbox = tiling.pad_to_align(jnp.asarray(x0), self._align)
-      x1p, _ = tiling.pad_to_align(jnp.asarray(x1), self._align)
-    else:
-      x0p, x1p, bbox = jnp.asarray(x0), jnp.asarray(x1), None
     time = jnp.asarray(dt)[..., None].astype(jnp.float32)
-    outputs = dict(self._forward_all(self._params, x0p, x1p, time))
-    if bbox is not None:
-      outputs['image'] = tiling.crop_to_bounding_box(outputs['image'], **bbox)
-    return outputs
+    return dict(self._forward_all(self._params, jnp.asarray(x0),
+                                  jnp.asarray(x1), time, self._align))
 
   def call_device(self, x0: jnp.ndarray, x1: jnp.ndarray,
                   dt: jnp.ndarray) -> jnp.ndarray:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Dict, List
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import pyramid as pyramid_ops
@@ -136,5 +137,7 @@ def init_params(model: FilmNet, rng, height: int = 64, width: int = 64):
   w = max(width, align)
   x = jnp.zeros((1, h, w, 3), jnp.float32)
   t = jnp.full((1, 1), 0.5, jnp.float32)
-  variables = model.init(rng, x, x, t)
+  # jit keeps init to one device program (important on remote-tunneled
+  # devices where eager per-op dispatch is slow).
+  variables = jax.jit(model.init)(rng, x, x, t)
   return variables['params']
