@@ -11,17 +11,34 @@ with the tfa `_interpolate_bilinear` boundary rule: the floor of each query
 coordinate is clamped into [0, size-2] and the fractional part (alpha) is
 clamped into [0, 1]. Out-of-bounds queries therefore clamp to edge pixels.
 
-TPU-first implementation: the four neighbor taps are expressed as one flat
-row-gather over the (H*W, C) image followed by three shifted gathers. XLA
-lowers these to dynamic-gathers of contiguous C-length rows, which is
-bandwidth-efficient on TPU; coordinates and blend weights are computed in
-f32 on the VPU regardless of the image dtype. Gradients flow through both
-the image (scatter-add transpose of gather) and the flow (through alpha).
+TPU-first implementation notes. XLA lowers per-pixel gathers to an
+index-count-bound loop on TPU, so the formulation minimizes gathered
+slices: the two x-taps (ix, ix+1) are fetched as ONE contiguous 2C-wide
+slice of the flattened (H*W*C,) image, giving 2 slices per output pixel
+(top and bottom rows) instead of 4. Coordinates and blend weights are
+computed in f32 on the VPU regardless of the image dtype. Gradients flow
+through both the image (scatter-add transpose of gather) and the flow
+(through the alphas).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _query_coords(h, w, flow):
+  """Returns clamped integer corners and fractional weights, all f32/int32."""
+  flow = flow.astype(jnp.float32)
+  gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+  gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+  qy = gy[None] + flow[..., 1]
+  qx = gx[None] + flow[..., 0]
+  # tfa boundary rule: floor clamped to [0, size-2], alpha clamped to [0, 1].
+  fy = jnp.clip(jnp.floor(qy), 0.0, float(h - 2))
+  fx = jnp.clip(jnp.floor(qx), 0.0, float(w - 2))
+  ay = jnp.clip(qy - fy, 0.0, 1.0)
+  ax = jnp.clip(qx - fx, 0.0, 1.0)
+  return fy.astype(jnp.int32), fx.astype(jnp.int32), ay, ax
 
 
 def backward_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -36,41 +53,31 @@ def backward_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
   """
   b, h, w, c = image.shape
   compute_dtype = image.dtype
+  iy, ix, ay, ax = _query_coords(h, w, flow)
 
-  # Query coordinates, f32 for precision even when images are bf16.
-  flow = flow.astype(jnp.float32)
-  gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-  gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-  qy = gy[None] + flow[..., 1]
-  qx = gx[None] + flow[..., 0]
+  # One (2, C) slice over the (H*W, C) pixel-row operand covers both x-taps
+  # of a pixel contiguously (ix <= W-2 by clamping, so the pair never wraps
+  # meaningfully); two gathers (top/bottom source row) replace the naive
+  # four.
+  pixels = image.reshape(b, h * w, c)
+  start_top = (iy * w + ix).reshape(b, h * w)
+  starts = jnp.concatenate([start_top, start_top + w], axis=1)
 
-  # tfa boundary rule: floor clamped to [0, size-2], alpha clamped to [0, 1].
-  fy = jnp.clip(jnp.floor(qy), 0.0, float(h - 2))
-  fx = jnp.clip(jnp.floor(qx), 0.0, float(w - 2))
-  ay = jnp.clip(qy - fy, 0.0, 1.0)
-  ax = jnp.clip(qx - fx, 0.0, 1.0)
+  dnums = jax.lax.GatherDimensionNumbers(
+      offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
 
-  iy = fy.astype(jnp.int32)
-  ix = fx.astype(jnp.int32)
-  flat_tl = iy * w + ix  # (B, H, W)
+  def gather_pairs(pixels_b, starts_b):
+    return jax.lax.gather(pixels_b, starts_b[:, None], dnums,
+                          slice_sizes=(2, c), mode='clip')
 
-  img_flat = image.reshape(b, h * w, c)
-
-  def gather_rows(flat_idx):
-    # (B, H, W) int32 -> (B, H, W, C)
-    return jax.vmap(lambda im, idx: jnp.take(im, idx, axis=0))(
-        img_flat, flat_idx.reshape(b, h * w)).reshape(b, h, w, c)
-
-  tl = gather_rows(flat_tl)
-  tr = gather_rows(flat_tl + 1)
-  bl = gather_rows(flat_tl + w)
-  br = gather_rows(flat_tl + w + 1)
+  both = jax.vmap(gather_pairs)(pixels, starts)
+  both = both.reshape(b, 2, h, w, 2, c).astype(jnp.float32)
+  top2 = both[:, 0]
+  bot2 = both[:, 1]
 
   ax = ax[..., None]
   ay = ay[..., None]
-  top = tl.astype(jnp.float32) + (tr.astype(jnp.float32) -
-                                  tl.astype(jnp.float32)) * ax
-  bot = bl.astype(jnp.float32) + (br.astype(jnp.float32) -
-                                  bl.astype(jnp.float32)) * ax
+  top = top2[..., 0, :] + (top2[..., 1, :] - top2[..., 0, :]) * ax
+  bot = bot2[..., 0, :] + (bot2[..., 1, :] - bot2[..., 0, :]) * ax
   out = top + (bot - top) * ay
   return out.astype(compute_dtype)
