@@ -53,6 +53,17 @@ _EVAL_NAMES = flags.DEFINE_list('eval_names', [],
                                 'Names of the eval datasets.')
 _EVAL_MAX_EXAMPLES = flags.DEFINE_integer(
     'eval_max_examples', -1, 'Max examples per eval dataset; -1 = all.')
+_PROFILE_DIR = flags.DEFINE_string(
+    'profile_dir', None,
+    'If set, capture a jax.profiler device trace for a few steps here.')
+_COORDINATOR_ADDRESS = flags.DEFINE_string(
+    'coordinator_address', None,
+    'host:port of process 0 for multi-host training (TPU pods usually '
+    'auto-detect; leave unset on a single host).')
+_NUM_PROCESSES = flags.DEFINE_integer('num_processes', None,
+                                      'Total processes (multi-host).')
+_PROCESS_ID = flags.DEFINE_integer('process_id', None,
+                                   'This process index (multi-host).')
 
 
 def main(argv):
@@ -61,6 +72,10 @@ def main(argv):
     import jax
     jax.config.update('jax_platforms', 'cpu')
   import jax
+
+  from ..parallel import distributed
+  distributed.initialize_multihost(_COORDINATOR_ADDRESS.value,
+                                   _NUM_PROCESSES.value, _PROCESS_ID.value)
 
   from .. import losses as losses_lib
   from ..data import dataset as dataset_lib
@@ -124,7 +139,8 @@ def main(argv):
   train_lib.train(model, config.model, train_losses, train_iterator, opts,
                   run_dir, init_rng=jax.random.PRNGKey(0), mesh=mesh,
                   augmentation_names=tuple(config.augmentations),
-                  eval_fn=eval_fn, log_fn=logging.info)
+                  eval_fn=eval_fn, log_fn=logging.info,
+                  profile_dir=_PROFILE_DIR.value)
 
 
 if __name__ == '__main__':

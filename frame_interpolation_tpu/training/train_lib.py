@@ -151,12 +151,20 @@ class CheckpointManager:
   tf.train.CheckpointManager (train_lib.py:202-206).
   """
 
-  def __init__(self, directory: str, max_to_keep: int = 10):
+  def __init__(self, directory: str, max_to_keep: int = 10,
+               keep_period_hours: float = 2.0):
+    import datetime
+
     import orbax.checkpoint as ocp
     self._directory = os.path.abspath(directory)
     os.makedirs(self._directory, exist_ok=True)
-    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
-                                           create=True)
+    # max_to_keep=10 plus keep-one-every-2h mirrors the reference's
+    # tf.train.CheckpointManager settings (train_lib.py:202-206).
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep,
+        keep_time_interval=(datetime.timedelta(hours=keep_period_hours)
+                            if keep_period_hours else None),
+        create=True)
     self._manager = ocp.CheckpointManager(self._directory, options=options)
 
   def save(self, step: int, state: TrainState) -> None:
@@ -199,6 +207,9 @@ def train_loop(
     eval_fn: Optional[Callable[[TrainState, int], None]] = None,
     seed: int = 0,
     log_fn: Callable[[str], None] = print,
+    profile_dir: Optional[str] = None,
+    profile_start_step: int = 10,
+    profile_num_steps: int = 5,
 ) -> TrainState:
   """Runs training to `opts.num_steps`, resuming from the run dir if set.
 
@@ -224,13 +235,23 @@ def train_loop(
   timing_start = time.monotonic()
   timing_step = start_step
 
+  profiling = False
   for step in range(start_step, opts.num_steps):
+    if profile_dir and step == profile_start_step and not profiling:
+      jax.profiler.start_trace(profile_dir)
+      profiling = True
     batch = next(train_iterator)
     device_batch = mesh_lib.shard_batch(
         {k: v for k, v in batch.items() if not isinstance(v, list)}, mesh)
     step_rng = jax.random.fold_in(rng, step)
     state, metrics = step_fn(state, device_batch, step_rng)
     next_step = step + 1
+    if profiling and next_step >= profile_start_step + profile_num_steps:
+      jax.block_until_ready(metrics)
+      jax.profiler.stop_trace()
+      profiling = False
+      log_fn(f'Wrote profiler trace for steps '
+             f'[{profile_start_step}, {next_step}) to {profile_dir}')
 
     if next_step % opts.timing_interval == 0:
       now = time.monotonic()
@@ -254,6 +275,8 @@ def train_loop(
         eval_fn(state, next_step)
       writer.flush()
 
+  if profiling:
+    jax.profiler.stop_trace()
   writer.close()
   return state
 
@@ -269,7 +292,8 @@ def train(model: FilmNet,
           mesh=None,
           augmentation_names: Sequence[str] = (),
           eval_fn=None,
-          log_fn: Callable[[str], None] = print) -> TrainState:
+          log_fn: Callable[[str], None] = print,
+          profile_dir: Optional[str] = None) -> TrainState:
   """End-to-end entry: init/restore, run the loop, export the bundle."""
   from ..io import params_io
   from ..models.film_net import init_params
@@ -281,7 +305,7 @@ def train(model: FilmNet,
   state = train_loop(model, state, losses, optimizer, train_iterator, opts,
                      run_dir, mesh=mesh,
                      augmentation_names=augmentation_names, eval_fn=eval_fn,
-                     log_fn=log_fn)
+                     log_fn=log_fn, profile_dir=profile_dir)
   bundle_dir = os.path.join(run_dir, 'saved_model')
   params_io.save_params(bundle_dir, jax.device_get(state.params),
                         model_options)
