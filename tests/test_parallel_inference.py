@@ -1,0 +1,47 @@
+"""Multi-chip patch-sharded inference tests (8-device virtual CPU mesh)."""
+import numpy as np
+
+import jax
+
+from frame_interpolation_tpu.inference import Interpolator
+from frame_interpolation_tpu.models.film_net import FilmNet, init_params
+from frame_interpolation_tpu.options import Options
+from frame_interpolation_tpu.parallel import create_mesh
+from frame_interpolation_tpu.parallel.inference import ShardedInterpolator
+
+OPTS = Options.tiny()
+
+
+def test_sharded_patches_match_single_device():
+  rng = np.random.RandomState(0)
+  params = init_params(FilmNet(OPTS), jax.random.PRNGKey(0))
+  mesh = create_mesh(jax.devices())
+  assert mesh.devices.size == 8
+  h = OPTS.align * 4  # 4x4 patch grid, each patch one align unit
+  w = OPTS.align * 8
+  x0 = rng.rand(1, h, w, 3).astype(np.float32)
+  x1 = rng.rand(1, h, w, 3).astype(np.float32)
+  dt = np.array([0.5], np.float32)
+
+  sharded = ShardedInterpolator(params, OPTS, mesh, block_shape=(2, 4),
+                                align=OPTS.align)
+  single = Interpolator(params, OPTS, align=OPTS.align, block_shape=(2, 4))
+  out_sharded = sharded(x0, x1, dt)
+  out_single = single(x0, x1, dt)
+  assert out_sharded.shape == (1, h, w, 3)
+  np.testing.assert_allclose(out_sharded, out_single, atol=2e-6)
+
+
+def test_patch_count_not_multiple_of_mesh():
+  rng = np.random.RandomState(1)
+  params = init_params(FilmNet(OPTS), jax.random.PRNGKey(0))
+  mesh = create_mesh(jax.devices())
+  h = w = OPTS.align * 3  # 9 patches over 8 devices -> padding path
+  x0 = rng.rand(1, h, w, 3).astype(np.float32)
+  x1 = rng.rand(1, h, w, 3).astype(np.float32)
+  dt = np.array([0.5], np.float32)
+  sharded = ShardedInterpolator(params, OPTS, mesh, block_shape=(3, 3),
+                                align=OPTS.align)
+  single = Interpolator(params, OPTS, align=OPTS.align, block_shape=(3, 3))
+  np.testing.assert_allclose(sharded(x0, x1, dt), single(x0, x1, dt),
+                             atol=2e-6)
