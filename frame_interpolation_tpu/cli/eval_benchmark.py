@@ -24,8 +24,11 @@ _PARAMS = flags.DEFINE_string(
     'params', None, "Parameter bundle / TF SavedModel path, or 'random'.",
     required=True)
 _TFRECORD = flags.DEFINE_string('tfrecord', None,
-                                "Eval TFRecord spec ('file' or 'file@N').",
-                                required=True)
+                                "Eval TFRecord spec ('file' or 'file@N').")
+_GIN_CONFIG = flags.DEFINE_string(
+    'gin_config', None,
+    'Path to a reference-style eval gin file (supplies tfrecord, metrics, '
+    'max_examples — compatibility with the reference eval_cli).')
 _OUTPUT_DIR = flags.DEFINE_string('output_dir', None,
                                   'Directory for results.csv and frames.',
                                   required=True)
@@ -112,11 +115,22 @@ def run_evaluation(interpolator, tfrecord: str, output_dir: str,
 def main(argv):
   del argv
   apply_platform_flag(_PLATFORM.value)
+  tfrecord_spec = _TFRECORD.value
+  metrics = list(_METRICS.value)
+  max_examples = _MAX_EXAMPLES.value
+  if _GIN_CONFIG.value:
+    from ..training.configs import gin_compat
+    eval_config = gin_compat.load_eval_gin(_GIN_CONFIG.value)
+    tfrecord_spec = tfrecord_spec or eval_config.tfrecord
+    metrics = list(eval_config.metrics)
+    max_examples = eval_config.max_examples
+  if not tfrecord_spec:
+    raise ValueError('Provide --tfrecord or --gin_config.')
   interpolator = load_interpolator_from_flag(_PARAMS.value, align=64,
                                              block_shape=None)
   totals = run_evaluation(
-      interpolator, _TFRECORD.value, _OUTPUT_DIR.value,
-      _MAX_EXAMPLES.value, list(_METRICS.value),
+      interpolator, tfrecord_spec, _OUTPUT_DIR.value,
+      max_examples, metrics,
       output_frames=_OUTPUT_FRAMES.value, batch_size=_BATCH_SIZE.value,
       model_description=_PARAMS.value)
   print('mean:', ', '.join(f'{k}={v:.6f}' for k, v in totals.items()))

@@ -27,6 +27,10 @@ _EXPERIMENT = flags.DEFINE_enum(
     'experiment', 'film_net-L1',
     ['film_net-L1', 'film_net-VGG', 'film_net-Style'],
     'Experiment preset (mirrors the released gin configs).')
+_GIN_CONFIG = flags.DEFINE_string(
+    'gin_config', None,
+    'Path to a reference-style training gin file; overrides --experiment '
+    '(compatibility with google-research/frame-interpolation configs).')
 _BASE_FOLDER = flags.DEFINE_string('base_folder', None,
                                    'Root folder for training runs.',
                                    required=True)
@@ -84,8 +88,13 @@ def main(argv):
   from ..training import (configs, eval_lib, metrics_lib, train_lib)
   from ..utils import tensorboard
 
-  config = configs.get_experiment(_EXPERIMENT.value,
-                                  vgg_model_file=_VGG_MODEL_FILE.value)
+  if _GIN_CONFIG.value:
+    from ..training.configs import gin_compat
+    config = gin_compat.load_training_gin(
+        _GIN_CONFIG.value, vgg_model_file=_VGG_MODEL_FILE.value)
+  else:
+    config = configs.get_experiment(_EXPERIMENT.value,
+                                    vgg_model_file=_VGG_MODEL_FILE.value)
   run_dir = os.path.join(_BASE_FOLDER.value, _LABEL.value)
   os.makedirs(run_dir, exist_ok=True)
   # Persist the effective config for reproducibility (train.py:85-87).
