@@ -82,6 +82,35 @@ def _training_example_stream(source: TrainingSource, seed: int,
       yield example
 
 
+def _threaded_example_stream(source: TrainingSource, seed: int,
+                             shuffle_buffer: int,
+                             num_threads: int) -> Iterator[Dict]:
+  """Merges `num_threads` decode workers into one example stream.
+
+  Each worker walks its own shard permutation (tf.data interleave
+  semantics with cycle_length=num_threads); PNG/JPEG decode releases the
+  GIL in PIL, so workers overlap decode with device compute.
+  """
+  if num_threads <= 1:
+    return _training_example_stream(source, seed, shuffle_buffer)
+  q: 'queue.Queue' = queue.Queue(maxsize=4 * num_threads)
+
+  def worker(worker_seed):
+    for example in _training_example_stream(source, worker_seed,
+                                            shuffle_buffer):
+      q.put(example)
+
+  for i in range(num_threads):
+    threading.Thread(target=worker, args=(seed + 7919 * i,),
+                     daemon=True).start()
+
+  def drain():
+    while True:
+      yield q.get()
+
+  return drain()
+
+
 def create_training_iterator(
     sources: Sequence[TrainingSource],
     batch_size: int,
@@ -94,14 +123,16 @@ def create_training_iterator(
 
   Mirrors `create_training_dataset` (data_lib.py:213-259): when several
   (files, crop_sizes) sources are given they are sampled per example with
-  the given weights (uniform by default).
+  the given weights (uniform by default). `num_threads` decode workers run
+  per source.
   """
-  del num_threads  # decode currently single-threaded per stream
   if not sources:
     raise ValueError('need at least one training source')
   rng = np.random.RandomState(seed + 991)
-  streams = [_training_example_stream(s, seed + 7 * i, shuffle_buffer)
-             for i, s in enumerate(sources)]
+  streams = [
+      _threaded_example_stream(s, seed + 7 * i, shuffle_buffer, num_threads)
+      for i, s in enumerate(sources)
+  ]
   probs = None
   if weights is not None:
     total = float(sum(weights))
