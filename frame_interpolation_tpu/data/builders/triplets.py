@@ -14,7 +14,7 @@ import concurrent.futures
 import io
 import logging
 import os
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 import numpy as np
 from PIL import Image

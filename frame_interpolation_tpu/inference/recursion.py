@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Callable, Generator, Iterable, List, Optional, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from .interpolator import Interpolator

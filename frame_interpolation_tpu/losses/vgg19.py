@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import threading
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ MXU back-to-back.
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -27,7 +27,6 @@ def _try_import():
 def _build():
   """Compiles the extension in-place with the system compiler."""
   import subprocess
-  import sys
   ext_suffix = sysconfig.get_config_var('EXT_SUFFIX') or '.so'
   out = os.path.join(_HERE, '_fi_native' + ext_suffix)
   src = os.path.join(_HERE, '_fi_native.c')

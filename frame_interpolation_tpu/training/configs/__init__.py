@@ -9,7 +9,7 @@ parity (SURVEY.md §5 config notes).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 from ...losses import PiecewiseConstantSchedule, constant_schedule
 from ...options import Options

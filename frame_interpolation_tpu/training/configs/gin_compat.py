@@ -17,7 +17,6 @@ that mattered).
 from __future__ import annotations
 
 import ast
-import dataclasses
 import re
 from typing import Any, Dict, Optional
 

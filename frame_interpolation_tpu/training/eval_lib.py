@@ -9,7 +9,7 @@ RAW prediction and images are clipped to [0, 1] only for summaries
 """
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional
+from typing import Dict, Mapping
 
 import jax
 import jax.numpy as jnp

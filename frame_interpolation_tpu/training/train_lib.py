@@ -26,7 +26,6 @@ TPU-first differences:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import time
 from typing import Any, Callable, Dict, Iterator, Mapping, Optional, Sequence, Tuple
