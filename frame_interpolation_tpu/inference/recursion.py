@@ -91,29 +91,40 @@ def interpolate_frontier(
   """
   if len(frames) < 2 or times_to_interpolate <= 0:
     return list(frames)
+  import jax
+  import jax.numpy as jnp
+
   # Patch tiling is defined for single pairs; with tiling active each pair is
   # already one batched (per-patch) device call, so fall through pair-by-pair.
   tiled = (interpolator._block_shape is not None and
            int(np.prod(interpolator._block_shape)) > 1)
-  sequence: List[np.ndarray] = [np.asarray(f, np.float32) for f in frames]
+  # The whole recursion tree stays DEVICE-RESIDENT: frames transfer to the
+  # device once and the full time-ordered sequence is fetched once at the
+  # end (device<->host round-trips per midpoint would dominate on
+  # remote/tunneled TPU hosts).
+  sequence = [jnp.asarray(np.asarray(f, np.float32)) for f in frames]
   for _ in range(times_to_interpolate):
     pairs0 = sequence[:-1]
     pairs1 = sequence[1:]
-    mids: List[np.ndarray] = []
+    mids = []
     chunk = 1 if tiled else max_batch
     for start in range(0, len(pairs0), chunk):
-      x0 = np.stack(pairs0[start:start + chunk])
-      x1 = np.stack(pairs1[start:start + chunk])
-      dt = np.full((x0.shape[0],), 0.5, dtype=np.float32)
-      out = interpolator(x0, x1, dt) if tiled else (
-          interpolator.interpolate(x0, x1, dt))
-      mids.extend(np.asarray(out))
+      x0 = jnp.stack(pairs0[start:start + chunk])
+      x1 = jnp.stack(pairs1[start:start + chunk])
+      dt = jnp.full((x0.shape[0],), 0.5, jnp.float32)
+      if tiled:
+        out = interpolator.call_device(x0, x1, dt)
+      else:
+        out = interpolator.interpolate_device(x0, x1, dt)
+      mids.extend(out[i] for i in range(out.shape[0]))
       if progress is not None:
-        progress(x0.shape[0])
-    merged: List[np.ndarray] = []
+        progress(int(x0.shape[0]))
+    merged = []
     for i, mid in enumerate(mids):
       merged.append(sequence[i])
       merged.append(mid)
     merged.append(sequence[-1])
     sequence = merged
-  return sequence
+  # One batched fetch of the final sequence.
+  stacked = np.asarray(jax.device_get(jnp.stack(sequence)))
+  return [stacked[i] for i in range(stacked.shape[0])]
