@@ -69,3 +69,42 @@ def test_training_learns_translation_midpoints():
       first = loss
   assert np.isfinite(loss)
   assert loss < 0.5 * first, f'L1 did not halve: {first:.4f} -> {loss:.4f}'
+
+
+def test_style_objective_trains_with_finite_gradients(tmp_path):
+  """The full Style objective (l1+vgg+style with schedules) through the
+  jitted DP step: gradients must be finite and the step must run."""
+  import test_losses as loss_fixtures
+
+  vgg_path = str(tmp_path / 'vgg.mat')
+  loss_fixtures._make_fake_vgg_mat(vgg_path)
+
+  from frame_interpolation_tpu.losses import PiecewiseConstantSchedule
+  losses = losses_lib.training_losses(
+      ['l1', 'vgg', 'style'],
+      loss_weight_schedules=[
+          PiecewiseConstantSchedule((0,), (1.0, 1.0)),
+          PiecewiseConstantSchedule((1500000,), (1.0, 0.25)),
+          PiecewiseConstantSchedule((1500000,), (0.0, 40.0)),
+      ],
+      vgg_model_file=vgg_path)
+  mesh = mesh_lib.create_mesh(jax.devices())
+  model = FilmNet(OPTS)
+  opts = training_lib.TrainingOptions(learning_rate=1e-3)
+  optimizer = training_lib.create_optimizer(opts)
+  step_fn = training_lib.make_train_step(model, losses, optimizer,
+                                         mesh=mesh)
+  state = mesh_lib.replicate(
+      training_lib.create_train_state(
+          init_params(model, jax.random.PRNGKey(0)), optimizer), mesh)
+  rng = np.random.RandomState(3)
+  batch = mesh_lib.shard_batch(_batch(rng), mesh)
+  state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+  values = {k: float(v) for k, v in jax.device_get(metrics).items()}
+  assert set(values) >= {'l1', 'k*vgg', 'k*style', 'training_loss'}
+  assert all(np.isfinite(v) for v in values.values()), values
+  # Style weight is 0 before 1.5M steps: objective equals l1 + 1.0*vgg.
+  np.testing.assert_allclose(values['training_loss'],
+                             values['l1'] + values['k*vgg'], rtol=1e-5)
+  leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+  assert all(np.isfinite(leaf).all() for leaf in leaves)
