@@ -108,23 +108,29 @@ def _import_named_variables(named_vars: List[Tuple[str, np.ndarray]],
   fusion_convs: Dict[str, Dict[str, np.ndarray]] = {}
   fusion_order: List[str] = []
 
+  known_scopes = ('feat_net', 'predict_flow', 'fusion')
   for name, value in named_vars:
     name = name.split(':')[0]
     parts = name.split('/')
     leaf = parts[-1]
     if leaf not in ('kernel', 'bias'):
       continue
+    # Tolerate enclosing name scopes (e.g. a 'film_net/' or model-name
+    # prefix some exports add): anchor on the first known scope component.
+    anchor = next((i for i, p in enumerate(parts) if p in known_scopes),
+                  None)
+    if anchor is None:
+      raise ValueError(f'TF weight import: unexpected variable {name}')
+    parts = parts[anchor:]
     scope = parts[0]
     if scope == 'feat_net' or scope == 'predict_flow':
       _assign(params, parts, value)
-    elif scope == 'fusion':
+    else:  # fusion
       layer = '/'.join(parts[:-1])
       if layer not in fusion_convs:
         fusion_convs[layer] = {}
         fusion_order.append(layer)
       fusion_convs[layer][leaf] = value
-    else:
-      raise ValueError(f'TF weight import: unexpected variable {name}')
 
   # Identify the (auto-named) fusion convs by kernel shape, which is unique
   # per conv; fall back to enumeration order among identical shapes.

@@ -174,3 +174,24 @@ class TestLoadParamsDispatch:
   def test_missing_path_raises(self, tmp_path):
     with pytest.raises(FileNotFoundError):
       params_io.load_params(str(tmp_path / 'nope'))
+
+
+class TestScopePrefixTolerance:
+
+  def test_prefixed_variable_names_import(self, oracle, saved_model_dir):
+    # Some exports wrap variables in an extra scope (e.g. 'film_net/...');
+    # the importer anchors on the first known scope component.
+    named = tf_import._named_vars_from_saved_model(saved_model_dir)
+    prefixed = [('film_net/' + name, value) for name, value in named]
+    params = tf_import._import_named_variables(prefixed, OPTS)
+    tf_import._validate_against_template(params, OPTS)
+    baseline = tf_import._import_named_variables(named, OPTS)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(baseline)):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  def test_unknown_scope_rejected(self):
+    with pytest.raises(ValueError):
+      tf_import._import_named_variables(
+          [('mystery/conv/kernel', np.zeros((3, 3, 2, 2), np.float32))],
+          OPTS)
