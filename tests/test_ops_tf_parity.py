@@ -117,3 +117,45 @@ class TestTiling:
     ours = np.asarray(ops.patches_to_image(jnp.asarray(patches), block_shape))
     theirs = self._reference_unpatch(patches, block_shape)
     np.testing.assert_array_equal(ours, theirs)
+
+
+class TestWarpGradients:
+  """Warp GRADIENT parity: training flows through the warp's backward.
+
+  Compares JAX autodiff of ops.warp.backward_warp against TF GradientTape
+  over the oracle's dense_image_warp implementation (same math, tfa
+  boundary semantics) for both the image and the flow inputs.
+  """
+
+  def test_grads_match_tf(self):
+    import jax
+    import jax.numpy as jnp
+    import tf_oracle
+    from frame_interpolation_tpu.ops import warp as warp_ops
+
+    rng = np.random.RandomState(0)
+    image = rng.rand(2, 9, 11, 3).astype(np.float32)
+    # Keep queries away from exact integers so clamp kinks don't make the
+    # subgradient ambiguous between implementations.
+    flow = ((rng.rand(2, 9, 11, 2).astype(np.float32) * 4 - 2) + 0.3)
+    cotangent = rng.rand(2, 9, 11, 3).astype(np.float32)
+
+    def jax_loss(img, flw):
+      return jnp.sum(warp_ops.backward_warp(img, flw) *
+                     jnp.asarray(cotangent))
+
+    jg_img, jg_flow = jax.grad(jax_loss, argnums=(0, 1))(
+        jnp.asarray(image), jnp.asarray(flow))
+
+    img_tf = tf.constant(image)
+    flow_tf = tf.constant(flow)
+    with tf.GradientTape() as tape:
+      tape.watch([img_tf, flow_tf])
+      warped = tf_oracle.tf_dense_image_warp_backward(img_tf, flow_tf)
+      loss = tf.reduce_sum(warped * cotangent)
+    tg_img, tg_flow = tape.gradient(loss, [img_tf, flow_tf])
+
+    np.testing.assert_allclose(np.asarray(jg_img), tg_img.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jg_flow), tg_flow.numpy(),
+                               atol=1e-4, rtol=1e-4)
