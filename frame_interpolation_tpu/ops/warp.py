@@ -61,7 +61,6 @@ def backward_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
   # four.
   pixels = image.reshape(b, h * w, c)
   start_top = (iy * w + ix).reshape(b, h * w)
-  starts = jnp.concatenate([start_top, start_top + w], axis=1)
 
   dnums = jax.lax.GatherDimensionNumbers(
       offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
@@ -70,13 +69,24 @@ def backward_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.gather(pixels_b, starts_b[:, None], dnums,
                           slice_sizes=(2, c), mode='clip')
 
-  both = jax.vmap(gather_pairs)(pixels, starts)
-  both = both.reshape(b, 2, h, w, 2, c).astype(jnp.float32)
-  top2 = both[:, 0]
-  bot2 = both[:, 1]
+  # Two separate gather calls (top and bottom source rows): profiling shows
+  # a single stacked-starts call forces large slice copies on its output,
+  # costing more than the saved per-call overhead. (Measured alternatives:
+  # flat-2C tap views and 4-D-operand 2-D-start gathers are both slower —
+  # unaligned channel slices / the 2-D-start gather path cost more than
+  # the 5-D tap dimension's layout copy.)
+  top2 = jax.vmap(gather_pairs)(pixels, start_top).reshape(b, h, w, 2, c)
+  bot2 = jax.vmap(gather_pairs)(pixels, start_top + w).reshape(b, h, w, 2, c)
 
-  ax = ax[..., None]
-  ay = ay[..., None]
+  # Blend in the image's own floating dtype: f32 stays f32 (TF parity);
+  # under the bf16 policy this avoids converting the 4-tap tensors (the
+  # blend is a convex combination — bf16-safe, verified by the PSNR guard).
+  blend_dtype = compute_dtype if jnp.issubdtype(compute_dtype,
+                                                jnp.floating) else jnp.float32
+  top2 = top2.astype(blend_dtype)
+  bot2 = bot2.astype(blend_dtype)
+  ax = ax.astype(blend_dtype)[..., None]
+  ay = ay.astype(blend_dtype)[..., None]
   top = top2[..., 0, :] + (top2[..., 1, :] - top2[..., 0, :]) * ax
   bot = bot2[..., 0, :] + (bot2[..., 1, :] - bot2[..., 0, :]) * ax
   out = top + (bot - top) * ay
