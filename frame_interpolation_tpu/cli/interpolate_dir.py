@@ -79,15 +79,36 @@ def process_directory(directory: str, interpolator) -> None:
     logging.warning('Skipping %s: fewer than 2 input frames.', directory)
     return
   logging.info('Generating in-between frames for %s.', directory)
-  loaded = [images.read_image(path) for path in input_frames]
   times = _TIMES_TO_INTERPOLATE.value
+  frames_dir = os.path.join(directory, 'interpolated_frames')
   if _STREAMING.value:
-    frames = list(
-        recursion.interpolate_recursively(loaded, times, interpolator))
-  else:
-    frames = recursion.interpolate_frontier(
-        loaded, times, interpolator, max_batch=_MAX_BATCH.value)
-  _output_frames(frames, os.path.join(directory, 'interpolated_frames'))
+    # True streaming (reference order): frames load on demand and write as
+    # produced — constant host memory for arbitrarily long videos.
+    os.makedirs(frames_dir, exist_ok=True)
+
+    def stream():
+      for index, frame in enumerate(
+          recursion.interpolate_recursively_from_files(
+              input_frames, times, interpolator)):
+        images.write_image(
+            os.path.join(frames_dir, f'frame_{index:03d}.png'), frame)
+        yield frame
+
+    if _OUTPUT_VIDEO.value and video.have_ffmpeg():
+      out = os.path.join(directory, 'interpolated.mp4')
+      video.write_video(out, stream(), fps=_FPS.value)
+      logging.info('Output video saved at %s.', out)
+    else:
+      if _OUTPUT_VIDEO.value:
+        logging.error('ffmpeg not found; skipping video for %s.', directory)
+      for _ in stream():
+        pass
+    logging.info('Output frames saved in %s.', frames_dir)
+    return
+  loaded = [images.read_image(path) for path in input_frames]
+  frames = recursion.interpolate_frontier(
+      loaded, times, interpolator, max_batch=_MAX_BATCH.value)
+  _output_frames(frames, frames_dir)
   if _OUTPUT_VIDEO.value:
     if not video.have_ffmpeg():
       logging.error('ffmpeg not found; skipping video for %s.', directory)

@@ -62,6 +62,25 @@ def interpolate_recursively(
   yield frames[-1]
 
 
+def interpolate_recursively_from_files(
+    frame_paths: Sequence[str], times_to_interpolate: int,
+    interpolator: Interpolator,
+    progress: Optional[ProgressFn] = None) -> Iterable[np.ndarray]:
+  """Streaming driver that loads frames on demand (eval/util.py:94-123).
+
+  Keeps at most one input pair in host memory at a time, for arbitrarily
+  long videos.
+  """
+  from ..io import images
+  n = len(frame_paths)
+  for i in range(1, n):
+    yield from _recursive_generator(images.read_image(frame_paths[i - 1]),
+                                    images.read_image(frame_paths[i]),
+                                    times_to_interpolate, interpolator,
+                                    progress)
+  yield images.read_image(frame_paths[-1])
+
+
 def num_output_frames(num_inputs: int, times_to_interpolate: int) -> int:
   """(n-1) * 2^T + 1 — total frames emitted, inputs included."""
   return (num_inputs - 1) * 2**times_to_interpolate + 1

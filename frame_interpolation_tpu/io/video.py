@@ -33,11 +33,17 @@ def have_ffmpeg() -> bool:
 
 def write_video(filename: str, frames: Iterable[np.ndarray],
                 fps: float = 30.0) -> None:
-  """Writes float [0,1] RGB frames to an H.264 mp4 via an ffmpeg pipe."""
-  frames = list(frames)
-  if not frames:
-    raise ValueError('write_video called with no frames.')
-  height, width = frames[0].shape[:2]
+  """Writes float [0,1] RGB frames to an H.264 mp4 via an ffmpeg pipe.
+
+  `frames` may be a list or a generator — frames stream to ffmpeg one at
+  a time, so arbitrarily long videos never sit fully in host memory.
+  """
+  iterator = iter(frames)
+  try:
+    first = next(iterator)
+  except StopIteration:
+    raise ValueError('write_video called with no frames.') from None
+  height, width = first.shape[:2]
   cmd = [
       get_ffmpeg_path(), '-y', '-f', 'rawvideo', '-pix_fmt', 'rgb24',
       '-s', f'{width}x{height}', '-r', str(fps), '-i', '-',
@@ -48,7 +54,8 @@ def write_video(filename: str, frames: Iterable[np.ndarray],
                           stdout=subprocess.DEVNULL,
                           stderr=subprocess.DEVNULL)
   try:
-    for frame in frames:
+    proc.stdin.write(images.to_uint8(first).tobytes())
+    for frame in iterator:
       proc.stdin.write(images.to_uint8(frame).tobytes())
   finally:
     proc.stdin.close()
