@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Sequence
+from typing import List
 
 from absl import app, flags, logging
 
@@ -51,21 +51,19 @@ _STREAMING = flags.DEFINE_boolean(
     'evaluation order) instead of batched frontier recursion.')
 _MAX_BATCH = flags.DEFINE_integer(
     'max_batch', 8, 'Device batch cap for frontier recursion.')
+_PAIRS_PER_CHUNK = flags.DEFINE_integer(
+    'pairs_per_chunk', 0,
+    'Input pairs expanded per device chunk in frontier mode; 0 sizes it '
+    'automatically from --device_memory_budget_gb.')
+_DEVICE_MEMORY_BUDGET_GB = flags.DEFINE_float(
+    'device_memory_budget_gb', 4.0,
+    'Device-memory budget (GiB) for the frontier recursion frame tree; '
+    'bounds peak HBM independent of sequence length.')
 _PLATFORM = flags.DEFINE_string(
     'platform', None,
     "Force a JAX platform (e.g. 'cpu'); default uses the best available.")
 
 _INPUT_EXT = ('png', 'jpg', 'jpeg')
-
-
-def _output_frames(frames: Sequence, frames_dir: str):
-  from ..io import images
-  if not os.path.isdir(frames_dir):
-    os.makedirs(frames_dir, exist_ok=True)
-  for index, frame in enumerate(frames):
-    images.write_image(os.path.join(frames_dir, f'frame_{index:03d}.png'),
-                       frame)
-  logging.info('Output frames saved in %s.', frames_dir)
 
 
 def process_directory(directory: str, interpolator) -> None:
@@ -81,41 +79,35 @@ def process_directory(directory: str, interpolator) -> None:
   logging.info('Generating in-between frames for %s.', directory)
   times = _TIMES_TO_INTERPOLATE.value
   frames_dir = os.path.join(directory, 'interpolated_frames')
+  # Both modes stream: frames load on demand and write as produced, so host
+  # memory is O(1) and (in frontier mode) device memory is bounded by
+  # --device_memory_budget_gb for arbitrarily long videos.
   if _STREAMING.value:
-    # True streaming (reference order): frames load on demand and write as
-    # produced — constant host memory for arbitrarily long videos.
-    os.makedirs(frames_dir, exist_ok=True)
+    frame_iter = recursion.interpolate_recursively_from_files(
+        input_frames, times, interpolator)
+  else:
+    frame_iter = recursion.interpolate_frontier_streaming(
+        input_frames, times, interpolator, max_batch=_MAX_BATCH.value,
+        pairs_per_chunk=_PAIRS_PER_CHUNK.value or None,
+        memory_budget_bytes=int(_DEVICE_MEMORY_BUDGET_GB.value * 2**30))
+  os.makedirs(frames_dir, exist_ok=True)
 
-    def stream():
-      for index, frame in enumerate(
-          recursion.interpolate_recursively_from_files(
-              input_frames, times, interpolator)):
-        images.write_image(
-            os.path.join(frames_dir, f'frame_{index:03d}.png'), frame)
-        yield frame
+  def stream():
+    for index, frame in enumerate(frame_iter):
+      images.write_image(
+          os.path.join(frames_dir, f'frame_{index:03d}.png'), frame)
+      yield frame
 
-    if _OUTPUT_VIDEO.value and video.have_ffmpeg():
-      out = os.path.join(directory, 'interpolated.mp4')
-      video.write_video(out, stream(), fps=_FPS.value)
-      logging.info('Output video saved at %s.', out)
-    else:
-      if _OUTPUT_VIDEO.value:
-        logging.error('ffmpeg not found; skipping video for %s.', directory)
-      for _ in stream():
-        pass
-    logging.info('Output frames saved in %s.', frames_dir)
-    return
-  loaded = [images.read_image(path) for path in input_frames]
-  frames = recursion.interpolate_frontier(
-      loaded, times, interpolator, max_batch=_MAX_BATCH.value)
-  _output_frames(frames, frames_dir)
-  if _OUTPUT_VIDEO.value:
-    if not video.have_ffmpeg():
-      logging.error('ffmpeg not found; skipping video for %s.', directory)
-      return
+  if _OUTPUT_VIDEO.value and video.have_ffmpeg():
     out = os.path.join(directory, 'interpolated.mp4')
-    video.write_video(out, frames, fps=_FPS.value)
+    video.write_video(out, stream(), fps=_FPS.value)
     logging.info('Output video saved at %s.', out)
+  else:
+    if _OUTPUT_VIDEO.value:
+      logging.error('ffmpeg not found; skipping video for %s.', directory)
+    for _ in stream():
+      pass
+  logging.info('Output frames saved in %s.', frames_dir)
 
 
 def main(argv):

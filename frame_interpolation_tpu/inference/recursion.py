@@ -20,6 +20,7 @@ Two drivers are provided:
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Generator, Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -89,6 +90,82 @@ def num_output_frames(num_inputs: int, times_to_interpolate: int) -> int:
 def num_interpolated_frames(num_inputs: int, times_to_interpolate: int) -> int:
   """(n-1) * (2^T - 1) — midpoints only, as the reference's tqdm total."""
   return (num_inputs - 1) * (2**times_to_interpolate - 1)
+
+
+def frontier_pairs_per_chunk(frame_nbytes: int, times_to_interpolate: int,
+                             memory_budget_bytes: int) -> int:
+  """Input pairs whose expanded recursion trees fit the device budget.
+
+  The frontier driver holds pairs * 2^T + 1 frames device-resident; the
+  reference instead streams with O(1) frames (eval/util.py:62-123), so
+  bounding the chunk keeps peak HBM independent of sequence length while
+  preserving the batched-tree speedup within a chunk.
+  """
+  tree = max(1, frame_nbytes) * 2**times_to_interpolate
+  return max(1, (memory_budget_bytes - frame_nbytes) // tree)
+
+
+def interpolate_frontier_streaming(
+    frames: Sequence, times_to_interpolate: int,
+    interpolator: Interpolator,
+    max_batch: int = 8,
+    pairs_per_chunk: Optional[int] = None,
+    memory_budget_bytes: int = 4 << 30,
+    progress: Optional[ProgressFn] = None
+) -> Generator[np.ndarray, None, None]:
+  """Batched frontier recursion with bounded device memory.
+
+  Splits the input sequence into chunks of consecutive pairs, expands each
+  chunk's recursion trees with `interpolate_frontier`, and streams frames in
+  time order. Outputs are identical to `interpolate_frontier` on the full
+  sequence (and so to the reference's streaming DFS, eval/util.py:94-123),
+  but peak device memory is (pairs_per_chunk * 2^T + 1) frames regardless of
+  sequence length.
+
+  Args:
+    frames: input frames — (H, W, 3) float32 arrays or file paths (loaded
+      lazily, one chunk at a time).
+    times_to_interpolate: recursion depth T.
+    interpolator: the model wrapper.
+    max_batch: device batch cap for each frontier call.
+    pairs_per_chunk: input pairs expanded per device chunk; default sizes
+      it from `memory_budget_bytes`.
+    memory_budget_bytes: device-memory budget used to derive the default
+      `pairs_per_chunk` (model activations live outside this budget).
+    progress: optional callback receiving the number of frames just produced.
+
+  Yields:
+    (n-1) * 2^T + 1 frames in time order, inputs included.
+  """
+
+  def load(frame):
+    if isinstance(frame, (str, os.PathLike)):
+      from ..io import images
+      return images.read_image(os.fspath(frame))
+    return frame
+
+  n = len(frames)
+  if n == 0:
+    return
+  first = load(frames[0])
+  if n < 2 or times_to_interpolate <= 0:
+    yield first
+    for frame in frames[1:]:
+      yield load(frame)
+    return
+  if pairs_per_chunk is None:
+    pairs_per_chunk = frontier_pairs_per_chunk(
+        first.nbytes, times_to_interpolate, memory_budget_bytes)
+  boundary = first
+  for start in range(0, n - 1, pairs_per_chunk):
+    stop = min(start + pairs_per_chunk, n - 1)
+    chunk = [boundary] + [load(f) for f in frames[start + 1:stop + 1]]
+    expanded = interpolate_frontier(chunk, times_to_interpolate, interpolator,
+                                    max_batch=max_batch, progress=progress)
+    last = stop == n - 1
+    for frame in expanded[:len(expanded) if last else -1]:
+      yield frame
+    boundary = chunk[-1]
 
 
 def interpolate_frontier(

@@ -8,9 +8,11 @@ import jax
 
 from frame_interpolation_tpu.inference import (Interpolator,
                                                interpolate_frontier,
+                                               interpolate_frontier_streaming,
                                                interpolate_recursively,
                                                num_interpolated_frames,
                                                num_output_frames)
+from frame_interpolation_tpu.inference.recursion import frontier_pairs_per_chunk
 from frame_interpolation_tpu.io import images
 from frame_interpolation_tpu.models.film_net import FilmNet, init_params
 from frame_interpolation_tpu.options import Options
@@ -45,6 +47,56 @@ class TestRecursion:
     assert len(frontier) == len(recursive)
     for i, (a, b) in enumerate(zip(recursive, frontier)):
       np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f'frame {i}')
+
+  @pytest.mark.parametrize('pairs_per_chunk', [1, 2, None])
+  def test_streaming_frontier_matches_frontier(self, interp,
+                                               pairs_per_chunk):
+    frames = _frames(5, seed=3)
+    full = interpolate_frontier(frames, 2, interp, max_batch=3)
+    streamed = list(interpolate_frontier_streaming(
+        frames, 2, interp, max_batch=3, pairs_per_chunk=pairs_per_chunk))
+    assert len(streamed) == len(full) == num_output_frames(5, 2)
+    # Chunking changes device batch compositions, so agreement is to float
+    # tolerance (same bound as the frontier-vs-DFS test above).
+    for i, (a, b) in enumerate(zip(full, streamed)):
+      np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f'frame {i}')
+
+  def test_streaming_frontier_loads_paths_lazily(self, interp, tmp_path):
+    frames = _frames(3, seed=7)
+    paths = []
+    for i, frame in enumerate(frames):
+      path = str(tmp_path / f'f_{i}.png')
+      images.write_image(path, frame)
+      paths.append(path)
+    loaded = [images.read_image(p) for p in paths]
+    want = interpolate_frontier(loaded, 1, interp)
+    got = list(interpolate_frontier_streaming(paths, 1, interp,
+                                              pairs_per_chunk=1))
+    assert len(got) == len(want)
+    for a, b in zip(want, got):
+      np.testing.assert_allclose(a, b, atol=2e-6)
+
+  def test_streaming_frontier_degenerate_inputs(self, interp):
+    frames = _frames(2, seed=9)
+    # T = 0: passthrough.
+    out = list(interpolate_frontier_streaming(frames, 0, interp))
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0], frames[0])
+    # Single frame.
+    out = list(interpolate_frontier_streaming(frames[:1], 3, interp))
+    assert len(out) == 1
+    # Empty.
+    assert list(interpolate_frontier_streaming([], 3, interp)) == []
+
+  def test_pairs_per_chunk_bounds_memory(self):
+    frame_nbytes = 1920 * 1080 * 3 * 4  # ~24.9 MB float32 1080p
+    # At T=5 each pair expands to 32 device frames; a 4 GiB budget fits
+    # five pairs' trees plus the boundary frame.
+    chunk = frontier_pairs_per_chunk(frame_nbytes, 5, 4 << 30)
+    assert chunk == ((4 << 30) - frame_nbytes) // (frame_nbytes * 32)
+    assert 1 <= chunk <= 6
+    # Budget smaller than one tree still makes progress.
+    assert frontier_pairs_per_chunk(frame_nbytes, 5, 1 << 20) == 1
 
   def test_recursive_is_time_ordered_superset(self, interp):
     frames = _frames(2, seed=5)
