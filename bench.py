@@ -29,6 +29,102 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FPS = 30.0
 
 
+def bench_video():
+  """BENCH_MODE=video: frontier-recursion video throughput at T=5.
+
+  Interpolates a short 1080p sequence with the batched breadth-first
+  driver (inference/recursion.py) — the TPU-native replacement for the
+  reference's 2^T-1 sequential batch-1 calls per pair
+  (eval/interpolator.py:199-202, eval/util.py:83-91) — and reports
+  interpolated frames/sec including host<->device transfers.
+  """
+  import numpy as np
+
+  from frame_interpolation_tpu.inference import (Interpolator,
+                                                 interpolate_frontier,
+                                                 num_interpolated_frames)
+  from frame_interpolation_tpu.models.film_net import FilmNet, init_params
+  from frame_interpolation_tpu.options import Options
+  import jax
+
+  dtype_policy = os.environ.get('BENCH_DTYPE', 'bfloat16')
+  warp_impl = os.environ.get('BENCH_WARP', 'gather')
+  times = int(os.environ.get('BENCH_TIMES', '5'))
+  n_frames = int(os.environ.get('BENCH_FRAMES', '3'))
+  height = int(os.environ.get('BENCH_HEIGHT', '1080'))
+  width = int(os.environ.get('BENCH_WIDTH', '1920'))
+  options = Options.film_net_released(dtype_policy=dtype_policy,
+                                      use_aux_outputs=False,
+                                      warp_impl=warp_impl)
+  model = FilmNet(options)
+  params = init_params(model, jax.random.PRNGKey(0))
+  interp = Interpolator(params, options, align=64)
+  rng = np.random.RandomState(0)
+  frames = [rng.rand(height, width, 3).astype(np.float32)
+            for _ in range(n_frames)]
+  n_mid = num_interpolated_frames(n_frames, times)
+  # Warmup compiles every batch bucket the frontier will use.
+  interpolate_frontier(frames, times, interp, max_batch=4)
+  best = float('inf')
+  for _ in range(2):
+    start = time.perf_counter()
+    out = interpolate_frontier(frames, times, interp, max_batch=4)
+    best = min(best, time.perf_counter() - start)
+    assert len(out) == n_mid + n_frames
+  fps = n_mid / best
+  print(json.dumps({
+      'metric': 'video_interpolated_1080p_fps_T%d' % times,
+      'value': round(fps, 3), 'unit': 'fps',
+      'vs_baseline': round(fps / BASELINE_FPS, 3)}))
+
+
+def bench_tiling4k():
+  """BENCH_MODE=tiling4k: one 4K mid-frame via batched 2x2 patch tiling.
+
+  The reference runs each patch sequentially at batch 1
+  (eval/interpolator.py:199-202); here all patches go through the model as
+  one batch. Reports interpolated 4K frames/sec.
+  """
+  import numpy as np
+
+  from frame_interpolation_tpu.inference import Interpolator
+  from frame_interpolation_tpu.models.film_net import FilmNet, init_params
+  from frame_interpolation_tpu.options import Options
+  import jax
+  import jax.numpy as jnp
+
+  dtype_policy = os.environ.get('BENCH_DTYPE', 'bfloat16')
+  warp_impl = os.environ.get('BENCH_WARP', 'gather')
+  trials = int(os.environ.get('BENCH_TRIALS', '3'))
+  iters = int(os.environ.get('BENCH_ITERS', '4'))
+  options = Options.film_net_released(dtype_policy=dtype_policy,
+                                      use_aux_outputs=False,
+                                      warp_impl=warp_impl)
+  model = FilmNet(options)
+  params = init_params(model, jax.random.PRNGKey(0))
+  interp = Interpolator(params, options, align=64, block_shape=(2, 2))
+  rng = np.random.RandomState(0)
+  x0 = jax.device_put(rng.rand(1, 2160, 3840, 3).astype(np.float32))
+  x1 = jax.device_put(rng.rand(1, 2160, 3840, 3).astype(np.float32))
+  tv = jax.device_put(np.full((1,), 0.5, np.float32))
+  out = interp.call_device(x0, x1, tv)  # warmup/compile
+  float(jnp.mean(out.astype(jnp.float32)))
+  best = float('inf')
+  for _ in range(trials):
+    start = time.perf_counter()
+    acc = x0
+    for _ in range(iters):
+      acc = interp.call_device(acc, x1, tv)
+    value = float(jnp.mean(acc.astype(jnp.float32)))
+    assert value == value
+    best = min(best, time.perf_counter() - start)
+  fps = iters / best
+  print(json.dumps({
+      'metric': '4k_tiled_frames_per_sec_per_chip',
+      'value': round(fps, 3), 'unit': 'fps',
+      'vs_baseline': round(fps / BASELINE_FPS, 3)}))
+
+
 def main():
   import jax
   import jax.numpy as jnp

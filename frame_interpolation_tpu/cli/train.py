@@ -38,8 +38,20 @@ _LABEL = flags.DEFINE_string('label', 'run0', 'Run descriptor.')
 _MODE = flags.DEFINE_enum('mode', 'auto', ['auto', 'cpu'],
                           "Device mode: 'cpu' to debug on host.")
 _TRAIN_FILE = flags.DEFINE_string(
-    'train_file', None, "Training TFRecord spec ('file' or 'file@N').",
-    required=True)
+    'train_file', None, "Training TFRecord spec ('file' or 'file@N'). "
+    'Deprecated in favor of --train_files, like the reference '
+    "(training/data_lib.py:242-247); still honored for single sources.")
+_TRAIN_FILES = flags.DEFINE_list(
+    'train_files', [],
+    'Training TFRecord specs for several mixed sources '
+    '(training/data_lib.py:242-259 parity).')
+_TRAIN_WEIGHTS = flags.DEFINE_list(
+    'train_weights', [],
+    'Per-source sampling weights for --train_files (uniform when empty).')
+_CROP_SIZES = flags.DEFINE_list(
+    'crop_sizes', [],
+    'Per-source crop sizes for --train_files; defaults to the experiment '
+    'crop size for every source.')
 _BATCH_SIZE = flags.DEFINE_integer('batch_size', None,
                                    'Override global batch size.')
 _CROP_SIZE = flags.DEFINE_integer('crop_size', None,
@@ -124,9 +136,12 @@ def main(argv):
       loss_weight_schedules=list(config.test_losses.weight_schedules),
       vgg_model_file=config.vgg_model_file)
 
+  from ..training import sources as sources_lib
+  sources, weights = sources_lib.build_training_sources(
+      dataset_lib, config.dataset, _TRAIN_FILE.value, _TRAIN_FILES.value,
+      _CROP_SIZES.value, crop_size, _TRAIN_WEIGHTS.value)
   train_iterator = dataset_lib.create_training_iterator(
-      [dataset_lib.TrainingSource(_TRAIN_FILE.value, crop_size)],
-      batch_size=batch_size)
+      sources, batch_size=batch_size, weights=weights)
 
   mesh = mesh_lib.create_mesh()
   logging.info('Training on %d device(s): %s', mesh.devices.size,

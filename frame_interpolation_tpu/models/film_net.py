@@ -43,24 +43,33 @@ class FilmNet(nn.Module):
     self.predict_flow = PyramidFlowEstimator(self.options, name='predict_flow')
     self.fusion = Fusion(self.options, name='fusion')
 
+  def extract_features(self, x):
+    """Image + feature pyramids for ONE frame (reusable across pairs).
+
+    The midpoint-recursion tree evaluates each frame in up to three pairs;
+    splitting the forward here lets callers compute `feat_net` once per
+    frame (~26% of model FLOPs) and reuse it — a semantics-preserving split
+    at the same point as reference interpolator.py:119-150.
+    """
+    decoded = x.astype(self.options.compute_dtype)
+    image_pyramid = pyramid_ops.build_image_pyramid(
+        decoded, self.options.pyramid_levels)
+    return image_pyramid, self.feat_net(image_pyramid)
+
   def __call__(self, x0: jnp.ndarray, x1: jnp.ndarray,
                time: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    features0 = self.extract_features(x0)
+    features1 = self.extract_features(x1)
+    return self.interpolate_from_features(features0, features1, time)
+
+  def interpolate_from_features(self, features0, features1,
+                                time: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Interpolates from precomputed (image_pyramid, feature_pyramid) pairs."""
     config = self.options
     compute_dtype = config.compute_dtype
 
-    x0_decoded = x0.astype(compute_dtype)
-    x1_decoded = x1.astype(compute_dtype)
-
-    image_pyramids = [
-        pyramid_ops.build_image_pyramid(x0_decoded, config.pyramid_levels),
-        pyramid_ops.build_image_pyramid(x1_decoded, config.pyramid_levels),
-    ]
-
-    # Siamese feature pyramids (shared weights via the single feat_net).
-    feature_pyramids = [
-        self.feat_net(image_pyramids[0]),
-        self.feat_net(image_pyramids[1]),
-    ]
+    image_pyramids = [features0[0], features1[0]]
+    feature_pyramids = [features0[1], features1[1]]
 
     forward_residual_flow_pyramid = self.predict_flow(feature_pyramids[0],
                                                       feature_pyramids[1])
@@ -91,10 +100,10 @@ class FilmNet(nn.Module):
     ]
 
     # Backward warping: backward flow reads from image 0, forward from 1.
-    forward_warped_pyramid = pyramid_ops.pyramid_warp(pyramids_to_warp[0],
-                                                      backward_flow)
-    backward_warped_pyramid = pyramid_ops.pyramid_warp(pyramids_to_warp[1],
-                                                       forward_flow)
+    forward_warped_pyramid = pyramid_ops.pyramid_warp(
+        pyramids_to_warp[0], backward_flow, impl=config.warp_impl)
+    backward_warped_pyramid = pyramid_ops.pyramid_warp(
+        pyramids_to_warp[1], forward_flow, impl=config.warp_impl)
 
     aligned_pyramid = pyramid_ops.concatenate_pyramids(
         forward_warped_pyramid, backward_warped_pyramid)

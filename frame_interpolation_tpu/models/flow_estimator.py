@@ -108,8 +108,9 @@ class PyramidFlowEstimator(nn.Module):
       h, w = (feature_pyramid_a[i].shape[-3], feature_pyramid_a[i].shape[-2])
       # Upsample flow to the current level; x2 magnitude for the new scale.
       v = resize.resize_bilinear(2.0 * v, (h, w))
-      warped = warp_ops.backward_warp(
-          feature_pyramid_b[i], v).astype(feature_pyramid_b[i].dtype)
+      warped = warp_ops.backward_warp_impl(
+          feature_pyramid_b[i], v,
+          self.options.warp_impl).astype(feature_pyramid_b[i].dtype)
       v_residual = self._predictor(i)(feature_pyramid_a[i], warped)
       residuals.append(v_residual)
       v = v_residual + v

@@ -71,10 +71,11 @@ def flow_pyramid_synthesis(
 
 
 def pyramid_warp(feature_pyramid: Sequence[jnp.ndarray],
-                 flow_pyramid: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+                 flow_pyramid: Sequence[jnp.ndarray],
+                 impl: str = 'gather') -> List[jnp.ndarray]:
   """Backward-warps each feature level with the matching flow level."""
   return [
-      warp_ops.backward_warp(features, flow)
+      warp_ops.backward_warp_impl(features, flow, impl)
       for features, flow in zip(feature_pyramid, flow_pyramid)
   ]
 

@@ -41,6 +41,30 @@ def _query_coords(h, w, flow):
   return fy.astype(jnp.int32), fx.astype(jnp.int32), ay, ax
 
 
+def backward_warp_impl(image: jnp.ndarray, flow: jnp.ndarray,
+                       impl: str = 'gather') -> jnp.ndarray:
+  """Dispatches between the numerically-equivalent warp implementations.
+
+  'gather': the XLA 2-slice gather below (portable, the CPU/parity path).
+  'window': the two-level window-DMA Pallas kernel (ops/warp_window.py).
+  'auto': 'window' on TPU when the plane is large enough for the kernel's
+  per-tile pipeline to win over XLA's per-pixel gather floor; 'gather'
+  otherwise (small pyramid levels and non-TPU backends).
+  """
+  if impl == 'auto':
+    try:
+      platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend configured
+      platform = 'cpu'
+    h, w = image.shape[1], image.shape[2]
+    impl = 'window' if platform == 'tpu' and h >= 64 and w >= 256 else (
+        'gather')
+  if impl == 'window':
+    from .warp_window import backward_warp_window
+    return backward_warp_window(image, flow)
+  return backward_warp(image, flow)
+
+
 def backward_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
   """Backward-warps `image` with `flow` ((dx, dy) per pixel).
 

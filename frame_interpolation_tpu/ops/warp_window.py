@@ -1,0 +1,321 @@
+"""Two-level (window-DMA) Pallas TPU kernel for backward bilinear warping.
+
+Semantics are identical to `ops.warp.backward_warp` (the JAX equivalent of
+`tensorflow_addons.image.dense_image_warp` as used by the reference's
+models/film_net/util.py:48-82): per output pixel, a bilinear lookup at the
+flow-displaced coordinate with the tfa edge-clamp rule.
+
+Why another kernel. XLA lowers the warp to per-pixel gathers whose cost is
+bound by GATHERED-SLICE COUNT (~10 ns/slice, PERF.md), putting a hard floor
+of ~70 ms on a 1080p x 67-channel warp. The displaced coordinate is
+`x + flow`, and real flow fields are locally smooth, so the INTEGER
+DISPLACEMENT `floor(x + flow) - x` has a tiny value range within any
+(8, 128) output tile. This kernel exploits that in two levels:
+
+  1. COARSE: per output tile, DMA one (C, 24, 256) source window from the
+     HBM-resident planar image, positioned by the tile's minimum integer
+     displacement (precomputed on the XLA side, scalar-prefetched so the
+     next tile's window streams in while the current tile computes).
+  2. FINE: loop over the tile's integer-displacement range with dynamic
+     `fori_loop` bounds (2-4 row shifts for smooth flow); per shift, the
+     bilinear tap weights are computed ONCE and reused across every
+     channel; the two x-taps are lane-gathers (`take_along_axis`) from an
+     unaligned 8-row slice of the VMEM window.
+
+Arbitrarily large displacement spreads (motion boundaries) stay exact: the
+kernel walks as many 16-row/256-col window steps as the tile needs, paying
+extra DMAs only for those tiles. There is no fallback path and no
+approximation; parity with ops.warp.backward_warp is pinned in
+tests/test_warp_window.py.
+
+Gradients: wrapped in jax.custom_vjp, with the backward pass delegated to
+the XLA-gather formulation's VJP (identical math), so the kernel is safe to
+use under training as well.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .warp import _query_coords, backward_warp
+
+_TH = 8     # output tile rows (sublanes)
+_TW = 128   # output tile cols (lanes)
+_WIN_H = 24  # window rows: 16-row d-coverage + 8 slack for unaligned slices
+_WIN_W = 128  # window cols: one 128-col source tile per window step (Mosaic
+             # supports unaligned dynamic sublane starts only for loads that
+             # span the full minor dimension — see experiments/probe_mosaic)
+# Channel block: bounds the triple-buffered (C, 24, 128) f32 window VMEM
+# (3 * 144 * 12KB = 5.2MB, leaving room for the accumulator and index
+# tiles).
+_MAX_CHANNEL_BLOCK = 144
+
+
+def _round_up(x: int, m: int) -> int:
+  return -(-x // m) * m
+
+
+def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
+                        planes, out_ref, win, acc_ref, sem,
+                        *, cb: int, n_sp: int, n_tx: int):
+  """One (cb, 8, 128) output tile against a windowed source.
+
+  Args:
+    by_ref/bx_ref: scalar-prefetch (n_sp,) int32 — per spatial tile, the
+      8-aligned row / 128-aligned col start of its first source window
+      (row origin is logical; +8 guard rows are added at DMA time).
+    iy/ix/ay/ax_ref: (8, 128) VMEM blocks of clamped integer corners and
+      fractional weights for this tile.
+    planes: (Cp, Hpad, Wp) source in HBM/ANY.
+    out_ref: (cb, 8, 128) VMEM output block.
+    win: (3, cb, 24, 128) VMEM window scratch — slots 0/1 rotate per tile
+      for cross-tile streaming; slot 2 alternates with the tile slot for
+      intra-tile multi-window pipelining.
+    acc_ref: (cb, 8, 128) f32 VMEM accumulator (measured faster than a
+      loop-carried register accumulator at this block size).
+    sem: (3,) DMA semaphores, one per window slot.
+  """
+  ci = pl.program_id(0)
+  ty = pl.program_id(1)
+  tx = pl.program_id(2)
+  t = ty * n_tx + tx
+  pos = ci * n_sp + t
+  n_pos = pl.num_programs(0) * n_sp
+  slot = jax.lax.rem(pos, 2)
+  c0 = ci * cb
+
+  def window_dma(c_start, row0, col0, slot_index):
+    # row0 is 8-aligned and col0 128-aligned by construction
+    # (_tile_window_bases); the hints let Mosaic slice the tiled HBM memref.
+    return pltpu.make_async_copy(
+        planes.at[pl.ds(c_start, cb),
+                  pl.ds(pl.multiple_of(row0 + 8, _TH), _WIN_H),
+                  pl.ds(pl.multiple_of(col0, _TW), _WIN_W)],
+        win.at[slot_index], sem.at[slot_index])
+
+  def first_window_dma(position, slot_index):
+    tsp = jax.lax.rem(position, n_sp)
+    return window_dma(jax.lax.div(position, n_sp) * cb,
+                      by_ref[tsp], bx_ref[tsp], slot_index)
+
+  @pl.when(pos == 0)
+  def _():
+    first_window_dma(pos, slot).start()
+
+  # Stream the NEXT tile's first window while this tile computes.
+  @pl.when(pos + 1 < n_pos)
+  def _():
+    first_window_dma(pos + 1, 1 - slot).start()
+
+  iy = iy_ref[:]
+  ix = ix_ref[:]
+  ay = ay_ref[:]
+  ax = ax_ref[:]
+  ty8 = ty * _TH
+  dy = iy - (ty8 + jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0))
+  d_min = jnp.min(dy)
+  d_end = jnp.max(dy) + 2          # tap rows iy and iy+1 -> shifts [d, d+1]
+  e_lo = by_ref[t] - ty8           # first window's shift origin (<= d_min)
+  cw_lo = bx_ref[t] // _TW
+  cw_hi = (jnp.max(ix) + 1) // _TW
+  n_wy = pl.cdiv(d_end - e_lo, 16)
+  n_wx = cw_hi + 1 - cw_lo
+  n_w = n_wy * n_wx
+
+  wx0_all = 1.0 - ax
+  wy_tap0 = 1.0 - ay
+
+  def win_origin(k):
+    # Row-major over (ky, kx): column windows of one row band are adjacent.
+    ky = jax.lax.div(k, n_wx)
+    kx = jax.lax.rem(k, n_wx)
+    return by_ref[t] + 16 * ky, bx_ref[t] + _WIN_W * kx
+
+  def win_slot(k):
+    # Window 0 sits in the cross-tile slot; further windows alternate
+    # between slot 2 and the tile slot (free once window 0 is consumed).
+    return jnp.where(jax.lax.rem(k, 2) == 0, slot, 2)
+
+  def window_body(k, _):
+    wy0, wx0 = win_origin(k)
+    my_slot = win_slot(k)
+    window_dma(c0, wy0, wx0, my_slot).wait()
+
+    # Pipeline: start the tile's next window before computing this one.
+    @pl.when(k + 1 < n_w)
+    def _():
+      ny0, nx0 = win_origin(k + 1)
+      window_dma(c0, ny0, nx0, win_slot(k + 1)).start()
+
+    d_lo = jnp.maximum(d_min, wy0 - ty8)
+    d_hi = jnp.minimum(d_end, wy0 - ty8 + 16)
+    lx = ix - wx0
+    lx0 = jnp.clip(lx, 0, _TW - 1)
+    lx1 = jnp.clip(lx + 1, 0, _TW - 1)
+    w0m = jnp.where((lx >= 0) & (lx < _TW), wx0_all, 0.0)
+    w1m = jnp.where((lx + 1 >= 0) & (lx + 1 < _TW), ax, 0.0)
+
+    # Channels collapse into the sublane axis so each shift is ONE 2-D
+    # lane-gather over all channels (Mosaic supports only 2-D gathers, and
+    # a per-channel scalar loop costs ~10x in loop overhead). Weights are
+    # applied AFTER reshaping back to (cb, 8, 128), where broadcasting
+    # along the channel axis is free.
+    def tile_channels(x):
+      return jnp.broadcast_to(x[None], (cb, _TH, _TW)).reshape(
+          cb * _TH, _TW)
+
+    lx0b = tile_channels(lx0)
+    lx1b = tile_channels(lx1)
+
+    def d_body(d, _):
+      # Row-tap weight for this shift, shared by every channel: source row
+      # ty8 + s + d serves output row s via tap0 (dy == d) or tap1
+      # (dy == d - 1).
+      wy = (jnp.where(dy == d, wy_tap0, 0.0) +
+            jnp.where(dy == d - 1, ay, 0.0))
+      w0 = w0m * wy
+      w1 = w1m * wy
+
+      # Motion boundaries make dy bimodal: most shifts in [d_min, d_end)
+      # contribute nothing; skip their loads and gathers entirely.
+      @pl.when(jnp.any((w0 > 0.0) | (w1 > 0.0)))
+      def _():
+        row = ty8 + d - wy0
+        src = win[my_slot, :, pl.ds(row, _TH), :].astype(jnp.float32)
+        src = src.reshape(cb * _TH, _TW)
+        g0 = jnp.take_along_axis(src, lx0b, axis=1).reshape(cb, _TH, _TW)
+        g1 = jnp.take_along_axis(src, lx1b, axis=1).reshape(cb, _TH, _TW)
+        acc_ref[...] += w0[None] * g0 + w1[None] * g1
+
+      return 0
+
+    return jax.lax.fori_loop(d_lo, d_hi, d_body, 0)
+
+  acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+  jax.lax.fori_loop(0, n_w, window_body, 0)
+  out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _tile_window_bases(iy: jnp.ndarray, ix: jnp.ndarray,
+                       n_ty: int, n_tx: int):
+  """Per-tile aligned window origins, flattened to (n_ty * n_tx,) int32.
+
+  The row origin is derived from the tile's minimum integer DISPLACEMENT
+  (iy - y), not its minimum absolute row: the 8-row block for shift d spans
+  rows [ty*8 + d, ty*8 + d + 8), whose start ty*8 + min(dy) can sit up to 7
+  rows below min(iy) (when the minimum displacement occurs on a lower
+  sublane) and as low as -7 (handled by 8 guard rows at the top of the
+  padded planes). Columns need no such treatment: the lane gathers only
+  read columns in [min(ix), max(ix) + 1], all inside the aligned window.
+  """
+  rows = jnp.arange(n_ty * _TH, dtype=jnp.int32)[:, None]
+  d_lo = jnp.min((iy - rows).reshape(n_ty, _TH, n_tx, _TW), axis=(1, 3))
+  ty8 = jnp.arange(n_ty, dtype=jnp.int32)[:, None] * _TH
+  by = ((ty8 + d_lo) // _TH) * _TH
+  c_lo = jnp.min(ix.reshape(n_ty, _TH, n_tx, _TW), axis=(1, 3))
+  bx = (c_lo // _TW) * _TW
+  return by.reshape(-1).astype(jnp.int32), bx.reshape(-1).astype(jnp.int32)
+
+
+def _channel_block(c: int) -> int:
+  n_blocks = -(-c // _MAX_CHANNEL_BLOCK)
+  return -(-c // n_blocks)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _warp_window_single(image: jnp.ndarray, flow: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+  """Warp for one sample: image (H, W, C), flow (H, W, 2)."""
+  h, w, c = image.shape
+  out_dtype = image.dtype
+  iy, ix, ay, ax = _query_coords(h, w, flow[None])
+  iy, ix, ay, ax = iy[0], ix[0], ay[0], ax[0]
+
+  hp = _round_up(h, _TH)
+  wp = _round_up(w, _TW)
+  n_ty = hp // _TH
+  n_tx = wp // _TW
+  # Edge-pad the index maps so padded lanes never inflate a tile's window.
+  pads = ((0, hp - h), (0, wp - w))
+  iy = jnp.pad(iy, pads, mode='edge')
+  ix = jnp.pad(ix, pads, mode='edge')
+  ay = jnp.pad(ay, pads, mode='edge')
+  ax = jnp.pad(ax, pads, mode='edge')
+  by, bx = _tile_window_bases(iy, ix, n_ty, n_tx)
+
+  cb = _channel_block(c)
+  cp = _round_up(c, cb)
+  # Planar f32 source, padded so every window DMA stays in bounds: 8 guard
+  # rows on top (negative-displacement blocks can start at row -8) and
+  # round8(h) + 32 below (window top can reach align8(h-1) + 23); 128-col
+  # windows never cross round128(w).
+  planes = jnp.transpose(image.astype(jnp.float32), (2, 0, 1))
+  planes = jnp.pad(planes, ((0, cp - c), (8, hp + 32 - h), (0, wp - w)))
+
+  n_sp = n_ty * n_tx
+  kernel = functools.partial(_warp_window_kernel, cb=cb, n_sp=n_sp,
+                             n_tx=n_tx)
+  idx_spec = pl.BlockSpec((_TH, _TW),
+                        lambda ci, ty, tx, *refs: (ty, tx))
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=2,
+      grid=(cp // cb, n_ty, n_tx),
+      in_specs=[idx_spec, idx_spec, idx_spec, idx_spec,
+                pl.BlockSpec(memory_space=pl.ANY)],
+      out_specs=pl.BlockSpec((cb, _TH, _TW),
+                             lambda ci, ty, tx, *refs: (ci, ty, tx)),
+      scratch_shapes=[
+          pltpu.VMEM((3, cb, _WIN_H, _WIN_W), jnp.float32),
+          pltpu.VMEM((cb, _TH, _TW), jnp.float32),
+          pltpu.SemaphoreType.DMA((3,)),
+      ])
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((cp, hp, wp), out_dtype),
+      interpret=interpret,
+  )(by, bx, iy, ix, ay, ax, planes)
+  return jnp.transpose(out[:c, :h, :w], (1, 2, 0))
+
+
+def _forward(image: jnp.ndarray, flow: jnp.ndarray,
+             interpret: bool = False) -> jnp.ndarray:
+  outs = [_warp_window_single(image[b], flow[b], interpret=interpret)
+          for b in range(image.shape[0])]
+  return jnp.stack(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def backward_warp_window(image: jnp.ndarray, flow: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+  """Backward-warps `image` with `flow` via the window-DMA Pallas kernel.
+
+  Args:
+    image: (B, H, W, C) array.
+    flow: (B, H, W, 2) array; channel 0 is dx, channel 1 is dy.
+    interpret: run in the Pallas interpreter (CPU tests).
+
+  Returns:
+    Warped image, same shape/dtype as `image`; numerically identical to
+    ops.warp.backward_warp.
+  """
+  return _forward(image, flow, interpret)
+
+
+def _fwd(image, flow, interpret):
+  return _forward(image, flow, interpret), (image, flow)
+
+
+def _bwd(interpret, residuals, g):
+  del interpret
+  image, flow = residuals
+  # Identical math to the kernel; XLA's transpose-of-gather handles grads.
+  _, vjp = jax.vjp(backward_warp, image, flow)
+  return vjp(g)
+
+
+backward_warp_window.defvjp(_fwd, _bwd)

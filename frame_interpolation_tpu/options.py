@@ -38,6 +38,11 @@ class Options:
     dtype_policy: 'float32' for full-precision (checkpoint parity), or
       'bfloat16' for MXU-friendly mixed precision (params stay f32; conv
       compute in bf16, flow/warp coordinate math stays f32).
+    warp_impl: backward-warp implementation — 'gather' (XLA 2-slice
+      gather formulation, ops/warp.py), 'window' (two-level window-DMA
+      Pallas kernel, ops/warp_window.py; TPU only), or 'auto' (window on
+      TPU for levels large enough to benefit, gather elsewhere). All
+      choices are numerically equivalent (pinned in tests).
   """
   pyramid_levels: int = 5
   fusion_pyramid_levels: int = 5
@@ -48,6 +53,7 @@ class Options:
   filters: int = 16
   use_aux_outputs: bool = True
   dtype_policy: str = 'float32'
+  warp_impl: str = 'gather'
 
   def __post_init__(self):
     if self.pyramid_levels < self.fusion_pyramid_levels:
@@ -56,6 +62,8 @@ class Options:
           'fusion_pyramid_levels.')
     if self.dtype_policy not in ('float32', 'bfloat16'):
       raise ValueError(f'Unknown dtype_policy: {self.dtype_policy}')
+    if self.warp_impl not in ('gather', 'window', 'auto'):
+      raise ValueError(f'Unknown warp_impl: {self.warp_impl}')
 
   @property
   def compute_dtype(self):

@@ -17,10 +17,18 @@ from ...options import Options
 
 @dataclasses.dataclass(frozen=True)
 class DatasetConfig:
-  """gin `training_dataset.*` / `eval_datasets.*` parity."""
+  """gin `training_dataset.*` / `eval_datasets.*` parity.
+
+  `file`/`crop_size` configure one source; `files`/`crop_sizes` (+ optional
+  sampling `weights`) configure several mixed sources, like the reference's
+  training_dataset.files (training/data_lib.py:242-259).
+  """
   file: str = ''
   batch_size: int = 8
   crop_size: int = 256
+  files: Tuple[str, ...] = ()
+  crop_sizes: Tuple[int, ...] = ()
+  weights: Tuple[float, ...] = ()
   eval_files: Tuple[str, ...] = ()
   eval_names: Tuple[str, ...] = ()
   eval_batch_size: int = 1

@@ -134,6 +134,8 @@ def load_training_gin(path: str,
       file=take('training_dataset.file', ''),
       batch_size=take('training_dataset.batch_size', 8),
       crop_size=take('training_dataset.crop_size', 256),
+      files=tuple(take('training_dataset.files', [])),
+      crop_sizes=tuple(take('training_dataset.crop_sizes', [])),
       eval_files=tuple(take('eval_datasets.files', [])),
       eval_names=tuple(take('eval_datasets.names', [])),
       eval_batch_size=take('eval_datasets.batch_size', 1),

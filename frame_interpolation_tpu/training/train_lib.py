@@ -89,6 +89,13 @@ def create_train_state(params: Any,
       opt_state=optimizer.init(params))
 
 
+# Aux model outputs summarized as images when present — the reference's
+# extra_images set (training/train_lib.py:88-93).
+_EXTRA_IMAGE_SUMMARIES = (
+    'importance0', 'importance1', 'x0_warped', 'x1_warped', 'fg_image',
+    'bg_image', 'fg_alpha', 'x1_unfiltered_warped')
+
+
 def make_train_step(
     model: FilmNet,
     losses: Mapping[str, Tuple[losses_lib.LossFn, losses_lib.WeightFn]],
@@ -116,9 +123,9 @@ def make_train_step(
         value = loss_value_fn(batch, predictions)
         per_loss[name] = value
         total += weight_fn(state.step) * value
-      return total, per_loss
+      return total, (per_loss, predictions)
 
-    (total, per_loss), grads = jax.value_and_grad(
+    (total, (per_loss, predictions)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
     updates, opt_state = optimizer.update(grads, state.opt_state,
                                           state.params)
@@ -127,7 +134,16 @@ def make_train_step(
                            opt_state=opt_state)
     metrics = dict(per_loss)
     metrics['training_loss'] = total
-    return new_state, metrics
+    # Image-shaped step outputs for TensorBoard, matching the reference's
+    # image_summaries selection (train_lib.py:72-93): the training triplet,
+    # the prediction, and any aux images the model emits.
+    summaries = {'x0': batch['x0'], 'x1': batch['x1'], 'y': batch['y'],
+                 'pred_y': predictions['image']}
+    for key in _EXTRA_IMAGE_SUMMARIES:
+      value = predictions.get(key)
+      if isinstance(value, jnp.ndarray) and value.ndim == 4:
+        summaries[key] = value
+    return new_state, metrics, summaries
 
   if mesh is None:
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -136,7 +152,7 @@ def make_train_step(
   return jax.jit(
       step_fn,
       in_shardings=(replicated, sharded, replicated),
-      out_shardings=(replicated, replicated),
+      out_shardings=(replicated, replicated, sharded),
       donate_argnums=(0,))
 
 
@@ -243,7 +259,7 @@ def train_loop(
     device_batch = mesh_lib.shard_batch(
         {k: v for k, v in batch.items() if not isinstance(v, list)}, mesh)
     step_rng = jax.random.fold_in(rng, step)
-    state, metrics = step_fn(state, device_batch, step_rng)
+    state, metrics, summaries = step_fn(state, device_batch, step_rng)
     next_step = step + 1
     if profiling and next_step >= profile_start_step + profile_num_steps:
       jax.block_until_ready(metrics)
@@ -267,6 +283,13 @@ def train_loop(
       writer.scalar('learning_rate',
                     float(learning_rate_schedule(opts)(next_step)),
                     next_step)
+      # Clipped image + histogram of every image-shaped step output, the
+      # reference's _summary_writer behavior (train_lib.py:103-111).
+      for name, value in jax.device_get(summaries).items():
+        images = np.asarray(value, np.float32)
+        writer.image(f'training/{name}', np.clip(images[0], 0.0, 1.0),
+                     next_step)
+        writer.histogram(f'training/{name}_h', images, next_step)
       ckpt.save(next_step, jax.device_get(state))
       log_fn(f'step {next_step}: ' + ', '.join(
           f'{k}={v:.5f}' for k, v in host_metrics.items()))

@@ -18,6 +18,10 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 # Keep TF quiet and CPU-only in parity tests.
 os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '2')
 os.environ.setdefault('CUDA_VISIBLE_DEVICES', '-1')
+# The reference model code predates Keras 3; tf.keras must resolve to the
+# legacy tf_keras package for tests/test_reference_parity.py (must be set
+# before tensorflow is first imported anywhere in the test process).
+os.environ.setdefault('TF_USE_LEGACY_KERAS', '1')
 
 import jax  # noqa: E402
 

@@ -12,6 +12,8 @@ from frame_interpolation_tpu.inference import Interpolator
 from frame_interpolation_tpu.models.film_net import FilmNet, init_params
 from frame_interpolation_tpu.options import Options
 
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
+
 OPTS = Options.tiny()
 
 

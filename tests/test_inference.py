@@ -17,6 +17,8 @@ from frame_interpolation_tpu.io import images
 from frame_interpolation_tpu.models.film_net import FilmNet, init_params
 from frame_interpolation_tpu.options import Options
 
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
+
 OPTS = Options.tiny()
 
 

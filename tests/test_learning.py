@@ -7,6 +7,7 @@ substantially — exercising model, losses, optimizer, augmentation-free
 step, and sharding together.
 """
 import numpy as np
+import pytest
 
 import jax
 
@@ -15,6 +16,8 @@ from frame_interpolation_tpu import training as training_lib
 from frame_interpolation_tpu.models.film_net import FilmNet, init_params
 from frame_interpolation_tpu.options import Options
 from frame_interpolation_tpu.parallel import mesh as mesh_lib
+
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
 
 OPTS = Options.tiny()
 SIZE = 32
@@ -63,7 +66,7 @@ def test_training_learns_translation_midpoints():
   loss = None
   for step in range(60):
     batch = mesh_lib.shard_batch(_batch(rng), mesh)
-    state, metrics = step_fn(state, batch, jax.random.fold_in(key, step))
+    state, metrics, _ = step_fn(state, batch, jax.random.fold_in(key, step))
     loss = float(jax.device_get(metrics['training_loss']))
     if first is None:
       first = loss
@@ -99,7 +102,7 @@ def test_style_objective_trains_with_finite_gradients(tmp_path):
           init_params(model, jax.random.PRNGKey(0)), optimizer), mesh)
   rng = np.random.RandomState(3)
   batch = mesh_lib.shard_batch(_batch(rng), mesh)
-  state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+  state, metrics, _ = step_fn(state, batch, jax.random.PRNGKey(2))
   values = {k: float(v) for k, v in jax.device_get(metrics).items()}
   assert set(values) >= {'l1', 'k*vgg', 'k*style', 'training_loss'}
   assert all(np.isfinite(v) for v in values.values()), values

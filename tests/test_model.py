@@ -9,6 +9,8 @@ from frame_interpolation_tpu.models import film_net
 from frame_interpolation_tpu.options import Options
 
 
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
+
 @pytest.fixture(scope='module')
 def tiny_setup():
   opts = Options.tiny()
@@ -142,3 +144,30 @@ class TestBfloat16Policy:
     assert out16.dtype == jnp.float32  # final output promoted back
     err = float(jnp.max(jnp.abs(out32 - out16)))
     assert err < 0.1  # bf16 noise on a randomly-initialized net
+
+
+class TestFeatureSplitForward:
+
+  def test_split_forward_matches_joint(self):
+    # extract_features + interpolate_from_features == __call__ — the
+    # feature-caching recursion split (PERF.md item 5).
+    model = film_net.FilmNet(Options.tiny())
+    params = film_net.init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(1, 16, 24, 3), jnp.float32)
+    x1 = jnp.asarray(rng.rand(1, 16, 24, 3), jnp.float32)
+    t = jnp.full((1, 1), 0.5, jnp.float32)
+    joint = model.apply({'params': params}, x0, x1, t)
+
+    def split(params, x0, x1, t):
+      f0 = model.apply({'params': params}, x0,
+                       method=model.extract_features)
+      f1 = model.apply({'params': params}, x1,
+                       method=model.extract_features)
+      return model.apply({'params': params}, f0, f1, t,
+                         method=model.interpolate_from_features)
+
+    out = jax.jit(split)(params, x0, x1, t)
+    np.testing.assert_allclose(np.asarray(out['image']),
+                               np.asarray(joint['image']), atol=2e-7)
+

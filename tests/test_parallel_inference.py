@@ -1,5 +1,6 @@
 """Multi-chip patch-sharded inference tests (8-device virtual CPU mesh)."""
 import numpy as np
+import pytest
 
 import jax
 
@@ -8,6 +9,8 @@ from frame_interpolation_tpu.models.film_net import FilmNet, init_params
 from frame_interpolation_tpu.options import Options
 from frame_interpolation_tpu.parallel import create_mesh
 from frame_interpolation_tpu.parallel.inference import ShardedInterpolator
+
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
 
 OPTS = Options.tiny()
 

@@ -13,6 +13,8 @@ from frame_interpolation_tpu.parallel import distributed
 from frame_interpolation_tpu.serving import Predictor
 from frame_interpolation_tpu.utils import profiling
 
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
+
 OPTS = Options.tiny()
 
 

@@ -26,6 +26,8 @@ from frame_interpolation_tpu.models.film_net import FilmNet  # noqa: E402
 from frame_interpolation_tpu.options import Options  # noqa: E402
 import tf_oracle  # noqa: E402  (tests dir is on sys.path under pytest)
 
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
+
 OPTS = Options(
     pyramid_levels=4,
     fusion_pyramid_levels=3,

@@ -22,6 +22,8 @@ from frame_interpolation_tpu.parallel import mesh as mesh_lib
 from frame_interpolation_tpu.training import configs, eval_lib, metrics_lib
 from frame_interpolation_tpu.utils import tensorboard
 
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
+
 OPTS = Options.tiny()
 H = W = 16
 
@@ -78,7 +80,7 @@ class TestTrainStep:
     rng = jax.random.PRNGKey(1)
     first = None
     for i in range(8):
-      state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+      state, metrics, _ = step_fn(state, batch, jax.random.fold_in(rng, i))
       loss = float(jax.device_get(metrics['training_loss']))
       if first is None:
         first = loss
@@ -103,15 +105,15 @@ class TestTrainStep:
     state_m = mesh_lib.replicate(
         training_lib.create_train_state(
             init_params(model, jax.random.PRNGKey(0)), optimizer), mesh)
-    state_m, metrics_m = step_mesh(state_m, mesh_lib.shard_batch(batch_np,
-                                                                mesh), rng)
+    state_m, metrics_m, _ = step_mesh(
+        state_m, mesh_lib.shard_batch(batch_np, mesh), rng)
 
     step_one = training_lib.make_train_step(model, losses, optimizer,
                                             mesh=None)
     state_1 = training_lib.create_train_state(
         init_params(model, jax.random.PRNGKey(0)), optimizer)
     batch_dev = {k: jnp.asarray(v) for k, v in batch_np.items()}
-    state_1, metrics_1 = step_one(state_1, batch_dev, rng)
+    state_1, metrics_1, _ = step_one(state_1, batch_dev, rng)
 
     np.testing.assert_allclose(
         float(metrics_m['training_loss']), float(metrics_1['training_loss']),
@@ -170,8 +172,19 @@ class TestTrainLoop:
         os.path.join(run_dir, 'saved_model'))
     assert loaded_opts == OPTS
     del params
-    # Summaries written.
-    assert glob.glob(os.path.join(run_dir, 'train', 'events.out.tfevents.*'))
+    # Summaries written, including the reference's per-step image grids and
+    # histograms of image-shaped train outputs (train_lib.py:103-111).
+    event_files = glob.glob(
+        os.path.join(run_dir, 'train', 'events.out.tfevents.*'))
+    assert event_files
+    tf = pytest.importorskip('tensorflow')
+    tags = {v.tag: v for path in event_files
+            for e in tf.compat.v1.train.summary_iterator(path)
+            for v in e.summary.value}
+    for name in ('x0', 'x1', 'y', 'pred_y'):
+      assert tags[f'training/{name}'].image.height == H
+      assert tags[f'training/{name}_h'].histo.num > 0
+    assert 'losses/training_loss' in tags and 'learning_rate' in tags
     # Resume: raising num_steps continues from the checkpoint.
     opts2 = training_lib.TrainingOptions(
         learning_rate=1e-3, num_steps=6, save_interval=2, timing_interval=2)

@@ -9,6 +9,8 @@ from frame_interpolation_tpu.ops.warp_pallas import (backward_warp_pallas,
                                                      max_channel_block)
 
 
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
+
 @pytest.mark.parametrize('shape,max_flow', [
     ((1, 16, 128, 3), 6),
     ((2, 24, 256, 5), 30),     # non-multiple H, cross-tile x

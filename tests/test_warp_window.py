@@ -1,0 +1,109 @@
+"""Parity tests for the window-DMA Pallas warp (interpret mode on CPU).
+
+Pins ops.warp_window.backward_warp_window to the XLA-gather formulation
+(ops.warp.backward_warp), which is itself pinned to the reference's
+tfa.dense_image_warp semantics in tests/test_ops_tf_parity.py.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from frame_interpolation_tpu.ops import warp, warp_window
+
+
+pytestmark = pytest.mark.slow  # model compiles dominate runtime
+
+def _check(img, flow, atol=1e-6):
+  want = np.asarray(warp.backward_warp(jnp.asarray(img), jnp.asarray(flow)),
+                    np.float32)
+  got = np.asarray(
+      warp_window.backward_warp_window(jnp.asarray(img), jnp.asarray(flow),
+                                       True), np.float32)
+  np.testing.assert_allclose(got, want, atol=atol)
+
+
+class TestWarpWindowParity:
+
+  def test_zero_flow_identity(self):
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 16, 24, 3).astype(np.float32)
+    _check(img, np.zeros((1, 16, 24, 2), np.float32))
+
+  @pytest.mark.parametrize('dx,dy', [(1, 0), (0, 1), (0, -3), (-2, 5),
+                                     (0.5, 0.0), (0.25, -1.75)])
+  def test_constant_flow(self, dx, dy):
+    rng = np.random.RandomState(1)
+    img = rng.rand(1, 16, 24, 3).astype(np.float32)
+    flow = np.zeros((1, 16, 24, 2), np.float32) + np.array(
+        [dx, dy], np.float32)
+    _check(img, flow)
+
+  @pytest.mark.parametrize('scale', [6.0, 60.0])
+  def test_random_flow(self, scale):
+    rng = np.random.RandomState(2)
+    img = rng.rand(1, 16, 24, 3).astype(np.float32)
+    flow = ((rng.rand(1, 16, 24, 2) - 0.5) * scale).astype(np.float32)
+    _check(img, flow)
+
+  def test_multi_window_tiles(self):
+    # Displacement spread within tiles far beyond one 16-row/256-col window.
+    rng = np.random.RandomState(3)
+    img = rng.rand(2, 40, 200, 5).astype(np.float32)
+    flow = ((rng.rand(2, 40, 200, 2) - 0.5) * 1000).astype(np.float32)
+    _check(img, flow)
+
+  def test_motion_boundary(self):
+    # Smooth field with a hard seam: adjacent pixels differ by ~40 px.
+    rng = np.random.RandomState(4)
+    h, w = 32, 160
+    img = rng.rand(1, h, w, 4).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    flow = np.stack([3 * np.sin(yy / 7.0), 3 * np.cos(xx / 9.0)],
+                    axis=-1).astype(np.float32)[None]
+    seam = ((yy + 2 * xx) % 61 < 24)[None]
+    flow[seam] += np.array([40.0, -37.0], np.float32)
+    _check(img, flow)
+
+  def test_out_of_bounds_clamps_to_edges(self):
+    rng = np.random.RandomState(5)
+    img = rng.rand(1, 16, 24, 3).astype(np.float32)
+    flow = np.zeros((1, 16, 24, 2), np.float32)
+    flow[..., 0] = 100.0   # everything reads beyond the right edge
+    flow[..., 1] = -100.0  # and above the top
+    _check(img, flow)
+
+  def test_non_tile_multiple_shapes(self):
+    rng = np.random.RandomState(6)
+    img = rng.rand(1, 13, 150, 3).astype(np.float32)
+    flow = ((rng.rand(1, 13, 150, 2) - 0.5) * 10).astype(np.float32)
+    _check(img, flow)
+
+  def test_bfloat16_image(self):
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(1, 16, 24, 3), jnp.bfloat16)
+    flow = jnp.asarray((rng.rand(1, 16, 24, 2) - 0.5) * 8, jnp.float32)
+    want = warp.backward_warp(img, flow)
+    got = warp_window.backward_warp_window(img, flow, True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=1e-2)
+
+  def test_gradients_match_xla_warp(self):
+    rng = np.random.RandomState(8)
+    img = jnp.asarray(rng.rand(1, 16, 24, 2), jnp.float32)
+    flow = jnp.asarray((rng.rand(1, 16, 24, 2) - 0.5) * 5, jnp.float32)
+
+    def loss_win(img, flow):
+      out = warp_window.backward_warp_window(img, flow, True)
+      return jnp.sum(out * out)
+
+    def loss_xla(img, flow):
+      out = warp.backward_warp(img, flow)
+      return jnp.sum(out * out)
+
+    gi_w, gf_w = jax.grad(loss_win, argnums=(0, 1))(img, flow)
+    gi_x, gf_x = jax.grad(loss_xla, argnums=(0, 1))(img, flow)
+    np.testing.assert_allclose(np.asarray(gi_w), np.asarray(gi_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_x), atol=1e-5)
