@@ -48,7 +48,7 @@ def bench_video():
   import jax
 
   dtype_policy = os.environ.get('BENCH_DTYPE', 'bfloat16')
-  warp_impl = os.environ.get('BENCH_WARP', 'gather')
+  warp_impl = os.environ.get('BENCH_WARP', 'window')
   times = int(os.environ.get('BENCH_TIMES', '5'))
   n_frames = int(os.environ.get('BENCH_FRAMES', '3'))
   height = int(os.environ.get('BENCH_HEIGHT', '1080'))
@@ -94,7 +94,7 @@ def bench_tiling4k():
   import jax.numpy as jnp
 
   dtype_policy = os.environ.get('BENCH_DTYPE', 'bfloat16')
-  warp_impl = os.environ.get('BENCH_WARP', 'gather')
+  warp_impl = os.environ.get('BENCH_WARP', 'window')
   trials = int(os.environ.get('BENCH_TRIALS', '3'))
   iters = int(os.environ.get('BENCH_ITERS', '4'))
   options = Options.film_net_released(dtype_policy=dtype_policy,
@@ -142,8 +142,10 @@ def main():
   height = int(os.environ.get('BENCH_HEIGHT', '1080'))
   width = int(os.environ.get('BENCH_WIDTH', '1920'))
 
+  warp_impl = os.environ.get('BENCH_WARP', 'window')
   options = Options.film_net_released(dtype_policy=dtype_policy,
-                                      use_aux_outputs=False)
+                                      use_aux_outputs=False,
+                                      warp_impl=warp_impl)
   model = FilmNet(options)
   params = init_params(model, jax.random.PRNGKey(0))
   align = 64
@@ -191,4 +193,10 @@ def main():
 
 
 if __name__ == '__main__':
-  main()
+  mode = os.environ.get('BENCH_MODE', 'pair')
+  if mode == 'video':
+    bench_video()
+  elif mode == 'tiling4k':
+    bench_tiling4k()
+  else:
+    main()

@@ -10,12 +10,12 @@ def apply_platform_flag(value) -> None:
 
 
 def load_interpolator_from_flag(params_flag: str, align, block_shape,
-                                dtype_policy=None):
+                                dtype_policy=None, warp_impl=None):
   """Builds an Interpolator from a bundle/SavedModel path or 'random'."""
+  import dataclasses
+
   from ..inference import Interpolator, load_interpolator
   if params_flag == 'random':
-    import dataclasses
-
     import jax
 
     from ..models.film_net import FilmNet, init_params
@@ -23,7 +23,15 @@ def load_interpolator_from_flag(params_flag: str, align, block_shape,
     options = Options.film_net_released()
     if dtype_policy:
       options = dataclasses.replace(options, dtype_policy=dtype_policy)
+    if warp_impl:
+      options = dataclasses.replace(options, warp_impl=warp_impl)
     params = init_params(FilmNet(options), jax.random.PRNGKey(42))
     return Interpolator(params, options, align=align, block_shape=block_shape)
-  return load_interpolator(params_flag, align=align, block_shape=block_shape,
-                           dtype_policy=dtype_policy)
+  interp = load_interpolator(params_flag, align=align,
+                             block_shape=block_shape,
+                             dtype_policy=dtype_policy)
+  if warp_impl and warp_impl != interp.options.warp_impl:
+    options = dataclasses.replace(interp.options, warp_impl=warp_impl)
+    interp = Interpolator(interp.params, options, align=align,
+                          block_shape=block_shape)
+  return interp

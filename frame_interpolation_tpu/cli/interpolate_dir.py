@@ -49,6 +49,10 @@ _OUTPUT_VIDEO = flags.DEFINE_boolean('output_video', False,
 _STREAMING = flags.DEFINE_boolean(
     'streaming', False, 'Use the in-order streaming generator (reference '
     'evaluation order) instead of batched frontier recursion.')
+_CACHE_FEATURES = flags.DEFINE_boolean(
+    'cache_features', True,
+    'In --streaming mode, compute each frame\'s feature pyramid once and '
+    'reuse it across the recursion pairs (bit-identical outputs).')
 _MAX_BATCH = flags.DEFINE_integer(
     'max_batch', 8, 'Device batch cap for frontier recursion.')
 _PAIRS_PER_CHUNK = flags.DEFINE_integer(
@@ -62,6 +66,11 @@ _DEVICE_MEMORY_BUDGET_GB = flags.DEFINE_float(
 _PLATFORM = flags.DEFINE_string(
     'platform', None,
     "Force a JAX platform (e.g. 'cpu'); default uses the best available.")
+_WARP_IMPL = flags.DEFINE_enum(
+    'warp_impl', 'auto', ['auto', 'gather', 'window'],
+    'Backward-warp implementation: the window-DMA Pallas kernel on large '
+    'TPU inputs (auto/window) or the portable XLA gather. Numerically '
+    'equivalent.')
 
 _INPUT_EXT = ('png', 'jpg', 'jpeg')
 
@@ -83,8 +92,14 @@ def process_directory(directory: str, interpolator) -> None:
   # memory is O(1) and (in frontier mode) device memory is bounded by
   # --device_memory_budget_gb for arbitrarily long videos.
   if _STREAMING.value:
-    frame_iter = recursion.interpolate_recursively_from_files(
-        input_frames, times, interpolator)
+    # Feature caching halves feat_net work per midpoint with bit-identical
+    # outputs; --nocache_features restores the naive per-pair forward.
+    if _CACHE_FEATURES.value:
+      frame_iter = recursion.interpolate_recursively_cached(
+          input_frames, times, interpolator)
+    else:
+      frame_iter = recursion.interpolate_recursively_from_files(
+          input_frames, times, interpolator)
   else:
     frame_iter = recursion.interpolate_frontier_streaming(
         input_frames, times, interpolator, max_batch=_MAX_BATCH.value,
@@ -119,7 +134,8 @@ def main(argv):
     raise ValueError(f'No directories match pattern {_PATTERN.value}')
   interpolator = load_interpolator_from_flag(
       _PARAMS.value, _ALIGN.value,
-      [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value])
+      [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value],
+      warp_impl=_WARP_IMPL.value)
   for directory in directories:
     process_directory(directory, interpolator)
 

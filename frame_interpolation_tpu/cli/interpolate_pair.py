@@ -45,6 +45,11 @@ _DTYPE = flags.DEFINE_enum('dtype_policy', None, ['float32', 'bfloat16'],
 _PLATFORM = flags.DEFINE_string(
     'platform', None,
     "Force a JAX platform (e.g. 'cpu'); default uses the best available.")
+_WARP_IMPL = flags.DEFINE_enum(
+    'warp_impl', 'auto', ['auto', 'gather', 'window'],
+    'Backward-warp implementation: the window-DMA Pallas kernel on large '
+    'TPU inputs (auto/window) or the portable XLA gather. Numerically '
+    'equivalent.')
 
 
 def main(argv):
@@ -53,7 +58,8 @@ def main(argv):
   from ..io import images
   interpolator = load_interpolator_from_flag(
       _PARAMS.value, _ALIGN.value,
-      [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value], _DTYPE.value)
+      [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value], _DTYPE.value,
+      warp_impl=_WARP_IMPL.value)
   image_1 = images.read_image(_FRAME1.value)
   image_2 = images.read_image(_FRAME2.value)
   if image_1.shape != image_2.shape:

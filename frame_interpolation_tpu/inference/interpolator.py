@@ -87,6 +87,58 @@ class Interpolator:
 
     self._forward_all = _forward_all
 
+    # Feature-caching split (PERF.md item 5): the midpoint-recursion tree
+    # evaluates each frame in up to three pairs; these entry points let the
+    # recursion drivers compute feat_net once per frame. Zero-padding after
+    # cropping reproduces the uncached path bit-for-bit, so cached and
+    # uncached recursion agree (pinned in tests/test_inference.py).
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _features(params, x, align):
+      if align is not None:
+        x, _ = tiling.pad_to_align(x, align)
+      return model.apply({'params': params}, x,
+                         method=model.extract_features)
+
+    self._features = _features
+
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def _mid_and_features(params, f0, f1, time, orig_hw, align):
+      out = model.apply({'params': params}, f0, f1, time,
+                        method=model.interpolate_from_features)
+      image = out['image']
+      if align is not None:
+        height, width = orig_hw
+        padded_h, padded_w = image.shape[1], image.shape[2]
+        top = (padded_h - height) // 2
+        left = (padded_w - width) // 2
+        image = tiling.crop_to_bounding_box(
+            image, offset_height=top, offset_width=left,
+            target_height=height, target_width=width)
+        repadded, _ = tiling.pad_to_align(image, align)
+      else:
+        repadded = image
+      features = model.apply({'params': params}, repadded,
+                             method=model.extract_features)
+      return image, features
+
+    self._mid_and_features = _mid_and_features
+
+  def features_device(self, x: jnp.ndarray):
+    """Reusable (image_pyramid, feature_pyramid) for frames (B, H, W, 3)."""
+    return self._features(self._params, jnp.asarray(x, jnp.float32),
+                          self._align)
+
+  def midpoint_from_features_device(self, f0, f1, orig_hw):
+    """Midpoint frame (cropped to `orig_hw`) plus ITS features.
+
+    The returned features equal features_device(midpoint) exactly, so
+    cached recursion reproduces the uncached one.
+    """
+    batch = f0[0][0].shape[0]
+    time = jnp.full((batch, 1), 0.5, jnp.float32)
+    return self._mid_and_features(self._params, f0, f1, time,
+                                  tuple(orig_hw), self._align)
+
   @property
   def options(self) -> Options:
     return self._options

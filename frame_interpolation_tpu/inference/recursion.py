@@ -82,6 +82,63 @@ def interpolate_recursively_from_files(
   yield images.read_image(frame_paths[-1])
 
 
+def interpolate_recursively_cached(
+    frames: Sequence[np.ndarray], times_to_interpolate: int,
+    interpolator: Interpolator,
+    progress: Optional[ProgressFn] = None) -> Generator[np.ndarray, None,
+                                                         None]:
+  """In-order DFS with per-frame FEATURE CACHING (PERF.md item 5).
+
+  `frames` may be arrays or file paths (loaded lazily, one pair at a
+  time). Identical outputs and evaluation order as
+  `interpolate_recursively`, but
+  each frame's feature pyramid is computed once and reused by every pair it
+  appears in (~13% fewer FLOPs at depth >= 1; the naive driver recomputes
+  features twice per midpoint). Features stay device-resident along the
+  DFS path only — peak feature memory is (T + 1) frames, independent of
+  sequence length. Reference semantics: eval/util.py:62-153.
+  """
+  import jax
+
+  def load(frame):
+    if isinstance(frame, (str, os.PathLike)):
+      from ..io import images
+      return images.read_image(os.fspath(frame))
+    return np.asarray(frame, np.float32)
+
+  if len(frames) < 2 or times_to_interpolate <= 0:
+    for frame in frames:
+      yield load(frame)
+    return
+  first = load(frames[0])
+  orig_hw = first.shape[0], first.shape[1]
+
+  def features(frame):
+    return interpolator.features_device(frame[np.newaxis])
+
+  def recurse(frame1, feat1, frame2, feat2, depth):
+    if depth == 0:
+      yield frame1
+      return
+    mid_dev, mid_feat = interpolator.midpoint_from_features_device(
+        feat1, feat2, orig_hw)
+    mid = np.asarray(jax.device_get(mid_dev))[0]
+    if progress is not None:
+      progress(1)
+    yield from recurse(frame1, feat1, mid, mid_feat, depth - 1)
+    yield from recurse(mid, mid_feat, frame2, feat2, depth - 1)
+
+  right = first
+  right_feat = features(first)
+  for i in range(1, len(frames)):
+    left, left_feat = right, right_feat
+    right = load(frames[i])
+    right_feat = features(right)
+    yield from recurse(left, left_feat, right, right_feat,
+                       times_to_interpolate)
+  yield right
+
+
 def num_output_frames(num_inputs: int, times_to_interpolate: int) -> int:
   """(n-1) * 2^T + 1 — total frames emitted, inputs included."""
   return (num_inputs - 1) * 2**times_to_interpolate + 1

@@ -10,6 +10,7 @@ from frame_interpolation_tpu.inference import (Interpolator,
                                                interpolate_frontier,
                                                interpolate_frontier_streaming,
                                                interpolate_recursively,
+                                               interpolate_recursively_cached,
                                                num_interpolated_frames,
                                                num_output_frames)
 from frame_interpolation_tpu.inference.recursion import frontier_pairs_per_chunk
@@ -99,6 +100,29 @@ class TestRecursion:
     assert 1 <= chunk <= 6
     # Budget smaller than one tree still makes progress.
     assert frontier_pairs_per_chunk(frame_nbytes, 5, 1 << 20) == 1
+
+  def test_cached_recursion_is_bit_identical(self, interp):
+    # Feature caching (PERF.md item 5) must not change a single bit: the
+    # re-padded cropped midpoint reproduces the uncached pad exactly.
+    frames = _frames(3, seed=11)
+    naive = list(interpolate_recursively(frames, 2, interp))
+    cached = list(interpolate_recursively_cached(frames, 2, interp))
+    assert len(cached) == len(naive)
+    for i, (a, b) in enumerate(zip(naive, cached)):
+      np.testing.assert_array_equal(a, b, err_msg=f'frame {i}')
+
+  def test_cached_recursion_loads_paths(self, interp, tmp_path):
+    frames = _frames(2, seed=12)
+    paths = []
+    for i, frame in enumerate(frames):
+      path = str(tmp_path / f'c_{i}.png')
+      images.write_image(path, frame)
+      paths.append(path)
+    want = list(interpolate_recursively(
+        [images.read_image(p) for p in paths], 1, interp))
+    got = list(interpolate_recursively_cached(paths, 1, interp))
+    for a, b in zip(want, got):
+      np.testing.assert_array_equal(a, b)
 
   def test_recursive_is_time_ordered_superset(self, interp):
     frames = _frames(2, seed=5)
