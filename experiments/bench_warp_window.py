@@ -29,15 +29,23 @@ TRIALS = 3
 
 def make_flows():
   yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing='ij')
+  # 'slow': realistic trained-network statistics — large motion, near
+  # constant within any (8, 128) tile (a few px of variation per tile).
+  slow = np.stack([30 * np.sin(yy / 397.0) * np.cos(xx / 531.0),
+                   30 * np.cos(yy / 453.0) * np.sin(xx / 489.0)],
+                  axis=-1).astype(np.float32)
+  # 'smooth': adversarially wiggly — ~25 px of x-displacement spread per
+  # 128-lane tile, defeating single-window recentering.
   smooth = np.stack([30 * np.sin(yy / 97.0) * np.cos(xx / 131.0),
                      30 * np.cos(yy / 113.0) * np.sin(xx / 89.0)],
                     axis=-1).astype(np.float32)
-  boundary = smooth.copy()
+  boundary = slow.copy()
   seam = (yy + 2 * xx) % 613 < 240
   boundary[seam] += np.array([40.0, -37.0], np.float32)
   rng = np.random.RandomState(0)
   random = ((rng.rand(H, W, 2) - 0.5) * 60).astype(np.float32)
-  return {'smooth': smooth, 'boundary': boundary, 'random': random}
+  return {'slow': slow, 'smooth': smooth, 'boundary': boundary,
+          'random': random}
 
 
 def bench(fn, image, flow):

@@ -115,6 +115,51 @@ def probe_unaligned_lane_start_load():
   return np.array_equal(np.asarray(out), x[:, 37:165])
 
 
+def probe_lane_roll_dynamic_wide():
+  def kernel(d_ref, x_ref, o_ref):
+    r = pltpu.roll(x_ref[:], shift=d_ref[0], axis=1)
+    o_ref[:] = r[:, 0:128]
+
+  x = np.arange(16 * 256, dtype=np.float32).reshape(16, 256)
+  d = np.array([256 - 37], np.int32)  # recenter so col 37 lands at lane 0
+  out = _scalar_smem_call(
+      kernel, jax.ShapeDtypeStruct((16, 128), jnp.float32), d, x)
+  return np.array_equal(np.asarray(out), x[:, 37:165])
+
+
+def probe_bf16_unaligned_sublane_load():
+  def kernel(d_ref, x_ref, o_ref):
+    o_ref[:] = x_ref[pl.ds(d_ref[0], 8), :]
+
+  x = np.arange(64 * 128, dtype=np.float32).reshape(64, 128)
+  d = np.array([5], np.int32)
+  out = _scalar_smem_call(
+      kernel, jax.ShapeDtypeStruct((8, 128), jnp.bfloat16), d,
+      jnp.asarray(x, jnp.bfloat16))
+  return np.array_equal(np.asarray(out, np.float32),
+                        np.asarray(jnp.asarray(x, jnp.bfloat16),
+                                   np.float32)[5:13])
+
+
+def probe_bf16_take_along_axis():
+  def kernel(i_ref, x_ref, o_ref):
+    o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+
+  rng = np.random.RandomState(0)
+  x = jnp.asarray(rng.rand(16, 128), jnp.bfloat16)
+  idx = rng.randint(0, 128, size=(16, 128)).astype(np.int32)
+  out = pl.pallas_call(
+      kernel,
+      in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)],
+      out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((16, 128), jnp.bfloat16),
+  )(idx, x)
+  return np.array_equal(np.asarray(out, np.float32),
+                        np.take_along_axis(np.asarray(x, np.float32), idx,
+                                           axis=1))
+
+
 if __name__ == '__main__':
   print('platform:', jax.devices()[0].platform, flush=True)
   run('unaligned_sublane_load', probe_unaligned_sublane_load)
@@ -122,4 +167,9 @@ if __name__ == '__main__':
   run('wide_take_along_axis', probe_wide_take_along_axis)
   run('dynamic_lane_start_load', probe_dynamic_lane_start_load)
   run('unaligned_lane_start_load', probe_unaligned_lane_start_load)
+  run('lane_roll_dynamic_wide', probe_lane_roll_dynamic_wide)
+  run('bf16_unaligned_sublane_load', probe_bf16_unaligned_sublane_load)
+  run('bf16_take_along_axis', probe_bf16_take_along_axis)
   print('DONE', flush=True)
+
+

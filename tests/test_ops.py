@@ -1,5 +1,6 @@
 """Unit tests for core ops (pure JAX/numpy — no TF needed)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -139,3 +140,23 @@ class TestTilingRoundTrip:
     padded, bbox = ops.pad_to_align(img, 64)
     assert padded.shape == img.shape
     assert bbox['offset_height'] == 0 and bbox['offset_width'] == 0
+
+
+class TestWarpImplDispatch:
+
+  def test_gather_and_window_unavailable_on_cpu_auto(self):
+    # 'auto' must resolve to the portable gather on CPU backends.
+    from frame_interpolation_tpu.ops import warp
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 8, 16, 2), jnp.float32)
+    flow = jnp.asarray((rng.rand(1, 8, 16, 2) - 0.5) * 4, jnp.float32)
+    want = warp.backward_warp(img, flow)
+    for impl in ('gather', 'auto'):
+      got = warp.backward_warp_impl(img, flow, impl)
+      np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                 atol=1e-7, err_msg=impl)
+
+  def test_unknown_impl_raises_via_options(self):
+    from frame_interpolation_tpu.options import Options
+    with pytest.raises(ValueError, match='warp_impl'):
+      Options.tiny(warp_impl='nope')
