@@ -123,6 +123,54 @@ class Interpolator:
 
     self._mid_and_features = _mid_and_features
 
+    # Whole-recursion-tree expansion as ONE jitted program: the frontier
+    # driver's per-depth device calls each pay a dispatch round-trip (severe
+    # on remote-tunneled TPUs); here every depth, its fixed-size forward
+    # chunks (lax.map), and the time-order interleave run device-side, so a
+    # chunk of the video costs one dispatch and one fetch.
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+    def _expand_tree(params, frames, times, max_batch, align):
+      def forward(x0, x1):
+        time = jnp.full((x0.shape[0], 1), 0.5, jnp.float32)
+        if align is not None:
+          x0p, bbox = tiling.pad_to_align(x0, align)
+          x1p, _ = tiling.pad_to_align(x1, align)
+        else:
+          x0p, x1p, bbox = x0, x1, None
+        image = model.apply({'params': params}, x0p, x1p, time)['image']
+        if bbox is not None:
+          image = tiling.crop_to_bounding_box(image, **bbox)
+        return image.astype(frames.dtype)
+
+      seq = frames
+      for _ in range(times):
+        n = seq.shape[0] - 1
+        chunk = min(max_batch, n)
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        x0 = seq[:-1]
+        x1 = seq[1:]
+        if pad:
+          filler = jnp.broadcast_to(seq[:1], (pad,) + seq.shape[1:])
+          x0 = jnp.concatenate([x0, filler])
+          x1 = jnp.concatenate([x1, filler])
+        shape = (n_chunks, chunk) + seq.shape[1:]
+        mids = jax.lax.map(lambda ab: forward(ab[0], ab[1]),
+                           (x0.reshape(shape), x1.reshape(shape)))
+        mids = mids.reshape((n_chunks * chunk,) + seq.shape[1:])[:n]
+        merged = jnp.stack([seq[:-1], mids], axis=1)
+        merged = merged.reshape((2 * n,) + seq.shape[1:])
+        seq = jnp.concatenate([merged, seq[-1:]])
+      return seq
+
+    self._expand_tree = _expand_tree
+
+  def expand_tree_device(self, frames: jnp.ndarray, times_to_interpolate: int,
+                         max_batch: int = 8) -> jnp.ndarray:
+    """Expands (N, H, W, 3) frames to ((N-1)*2^T + 1, H, W, 3) on device."""
+    return self._expand_tree(self._params, jnp.asarray(frames, jnp.float32),
+                             times_to_interpolate, max_batch, self._align)
+
   def features_device(self, x: jnp.ndarray):
     """Reusable (image_pyramid, feature_pyramid) for frames (B, H, W, 3)."""
     return self._features(self._params, jnp.asarray(x, jnp.float32),

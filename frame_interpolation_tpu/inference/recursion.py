@@ -251,27 +251,32 @@ def interpolate_frontier(
   # already one batched (per-patch) device call, so fall through pair-by-pair.
   tiled = (interpolator._block_shape is not None and
            int(np.prod(interpolator._block_shape)) > 1)
-  # The whole recursion tree stays DEVICE-RESIDENT: frames transfer to the
-  # device once and the full time-ordered sequence is fetched once at the
-  # end (device<->host round-trips per midpoint would dominate on
-  # remote/tunneled TPU hosts).
+  if not tiled:
+    # The ENTIRE expansion — every depth, its forward chunks, and the
+    # time-order interleave — is one jitted device program: one dispatch,
+    # one batched fetch. Per-midpoint device calls pay a dispatch
+    # round-trip each, which dominates on remote-tunneled TPU hosts.
+    stacked_in = np.stack([np.asarray(f, np.float32) for f in frames])
+    out = interpolator.expand_tree_device(stacked_in, times_to_interpolate,
+                                          max_batch=max_batch)
+    stacked = np.asarray(jax.device_get(out))
+    if progress is not None:
+      progress(stacked.shape[0] - len(frames))
+    return [stacked[i] for i in range(stacked.shape[0])]
+
   sequence = [jnp.asarray(np.asarray(f, np.float32)) for f in frames]
   for _ in range(times_to_interpolate):
     pairs0 = sequence[:-1]
     pairs1 = sequence[1:]
     mids = []
-    chunk = 1 if tiled else max_batch
-    for start in range(0, len(pairs0), chunk):
-      x0 = jnp.stack(pairs0[start:start + chunk])
-      x1 = jnp.stack(pairs1[start:start + chunk])
-      dt = jnp.full((x0.shape[0],), 0.5, jnp.float32)
-      if tiled:
-        out = interpolator.call_device(x0, x1, dt)
-      else:
-        out = interpolator.interpolate_device(x0, x1, dt)
-      mids.extend(out[i] for i in range(out.shape[0]))
+    for start in range(0, len(pairs0)):
+      x0 = pairs0[start][None]
+      x1 = pairs1[start][None]
+      dt = jnp.full((1,), 0.5, jnp.float32)
+      out = interpolator.call_device(x0, x1, dt)
+      mids.append(out[0])
       if progress is not None:
-        progress(int(x0.shape[0]))
+        progress(1)
     merged = []
     for i, mid in enumerate(mids):
       merged.append(sequence[i])

@@ -60,7 +60,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
-                        planes, out_ref, win, rolled_ref, acc_ref, sem,
+                        planes, out_ref, win, acc_ref, sem,
                         *, cb: int, n_sp: int, n_tx: int):
   """One (cb, 8, 128) output tile against a recentered windowed source.
 
@@ -80,7 +80,6 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
     win: (3, cb, 24, 256) VMEM window scratch — slots 0/1 rotate per tile
       for cross-tile streaming; slot 2 alternates with the tile slot for
       intra-tile multi-window pipelining.
-    rolled_ref: (cb, 24, 128) recentered window (rebuilt per window).
     acc_ref: (cb, 8, 128) f32 VMEM accumulator (measured faster than a
       loop-carried register accumulator at this block size).
     sem: (3,) DMA semaphores, one per window slot.
@@ -159,13 +158,6 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       ny0, nx0, _unused = win_origin(k + 1)
       window_dma(c0, ny0, nx0, win_slot(k + 1)).start()
 
-    # Recenter: after the roll, lane l of the rolled window holds source
-    # column bx + 128*kx + s_x + l = cx + 128*kx + l, so gather indices are
-    # simply ix - cx - 128*kx — unmasked for the typical tile.
-    rolled = pltpu.roll(win[my_slot].reshape(cb * _WIN_H, _WIN_W),
-                        shift=roll_shift, axis=1)
-    rolled_ref[...] = rolled[:, :_ROLL_W].reshape(cb, _WIN_H, _ROLL_W)
-
     d_lo = jnp.maximum(d_min, wy0 - ty8)
     d_hi = jnp.minimum(d_end, wy0 - ty8 + 16)
     lx = ix - cx - _ROLL_W * kx
@@ -200,8 +192,14 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       @pl.when(jnp.any((w0 > 0.0) | (w1 > 0.0)))
       def _():
         row = ty8 + d - wy0
-        src = rolled_ref[:, pl.ds(row, _TH), :].astype(jnp.float32)
-        src = src.reshape(cb * _TH, _ROLL_W)
+        src = win[my_slot, :, pl.ds(row, _TH), :].astype(jnp.float32)
+        # Recenter: after the roll, lane l holds source column
+        # cx + 128*kx + l, so gather indices are simply ix - cx - 128*kx
+        # — unmasked for the typical tile. Rolling the 8-row slice here
+        # (not the whole window) keeps the cost proportional to the
+        # shifts actually visited.
+        src = pltpu.roll(src.reshape(cb * _TH, _WIN_W), shift=roll_shift,
+                         axis=1)[:, :_ROLL_W]
         g0 = jnp.take_along_axis(src, lx0b, axis=1).reshape(cb, _TH, _TW)
         g1 = jnp.take_along_axis(src, lx1b, axis=1).reshape(cb, _TH, _TW)
         acc_ref[...] += w0[None] * g0 + w1[None] * g1
@@ -285,7 +283,6 @@ def _warp_window_single(image: jnp.ndarray, flow: jnp.ndarray,
                              lambda ci, ty, tx, *refs: (ci, ty, tx)),
       scratch_shapes=[
           pltpu.VMEM((3, cb, _WIN_H, _WIN_W), jnp.float32),
-          pltpu.VMEM((cb, _WIN_H, _ROLL_W), jnp.float32),
           pltpu.VMEM((cb, _TH, _TW), jnp.float32),
           pltpu.SemaphoreType.DMA((3,)),
       ])
