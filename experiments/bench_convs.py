@@ -41,17 +41,19 @@ def bench(label, h, w, cin, cout, k):
 
   @jax.jit
   def run(x, kern):
-    def body(_, x):
+    def body(carry, _):
+      # Chain through a scalar: the conv input tensor is reused verbatim,
+      # so no per-iteration copies contaminate the timing.
+      xi = x * (1.0 + carry * 1e-12).astype(x.dtype)
       y = jax.lax.conv_general_dilated(
-          x, kern, (1, 1), 'SAME',
+          xi, kern, (1, 1), 'SAME',
           dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
           preferred_element_type=jnp.float32)
-      y = jax.nn.leaky_relu(y, 0.2).astype(jnp.bfloat16)
-      # chain through a slice so shapes stay constant
-      return jnp.concatenate([y[..., :cin]] if cout >= cin else
-                             [y, x[..., :cin - cout]], axis=-1)[..., :cin]
-    out = jax.lax.fori_loop(0, ITERS, body, x)
-    return jnp.sum(out.astype(jnp.float32))
+      y = jax.nn.leaky_relu(y, 0.2)
+      return jnp.max(y).astype(jnp.float32), ()
+
+    out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+    return out
 
   float(run(x, kern))
   best = float('inf')

@@ -49,10 +49,13 @@ def _conv_kernel(x2d, w01_ref, w2_ref, b_ref, out_ref, buf, sem,
   slot = jax.lax.rem(pos, 2)
 
   def tile_dma(position, slot_index):
+    # bf16 HBM memrefs tile rows in 16s: both the start and the height of
+    # the sliced window must be multiples of 16 (height 32 covers the
+    # TH + 2 = 18 rows the taps read).
     ti = jax.lax.div(position, n_w)
     tj = jax.lax.rem(position, n_w)
     return pltpu.make_async_copy(
-        x2d.at[pl.ds(pl.multiple_of(ti * TH, 8), TH + 2),
+        x2d.at[pl.ds(pl.multiple_of(ti * TH, 16), 2 * TH),
                pl.ds(pl.multiple_of(tj * (TW * C), 128), LANES)],
         buf.at[slot_index], sem.at[slot_index])
 
@@ -98,8 +101,8 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
   n_h, n_w = hp // TH, wp // TW
   # (H, W*C) layout with a 1-pixel halo left/top and pad to the tile grid
   # (+1 right halo pixel inside the padded width).
-  x2d = jnp.pad(x[0], ((1, hp + 1 - h), (1, wp + 3 - width), (0, 0)))
-  x2d = x2d.reshape(hp + 2, (wp + 4) * C)
+  x2d = jnp.pad(x[0], ((1, hp + 15 - h), (1, wp + 3 - width), (0, 0)))
+  x2d = x2d.reshape(hp + 16, (wp + 4) * C)
   w01 = w[:, 0:2].reshape(3, 2 * C, C)
   w2 = w[:, 2]
 
@@ -115,7 +118,7 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
       out_specs=pl.BlockSpec((TH, TW, C), lambda i, j: (i, j, 0)),
       out_shape=jax.ShapeDtypeStruct((hp, wp, C), x.dtype),
       scratch_shapes=[
-          pltpu.VMEM((2, TH + 2, LANES), x.dtype),
+          pltpu.VMEM((2, 2 * TH, LANES), x.dtype),
           pltpu.SemaphoreType.DMA((2,)),
       ],
       interpret=interpret,
@@ -160,7 +163,11 @@ def main():
   @jax.jit
   def loop_xla(x, w, b):
     def body(_, x):
-      return reference(x, w, b).astype(jnp.bfloat16)
+      y = jax.lax.conv_general_dilated(
+          x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+          preferred_element_type=jnp.float32)
+      y = y + b[None, None, None]
+      return jnp.where(y >= 0, y, y * 0.2).astype(jnp.bfloat16)
     return jnp.sum(jax.lax.fori_loop(0, 8, body, x).astype(jnp.float32))
 
   for name, fn in (('pallas', loop_pallas), ('xla', loop_xla)):
