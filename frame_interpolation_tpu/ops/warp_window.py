@@ -12,15 +12,18 @@ of ~70 ms on a 1080p x 67-channel warp. The displaced coordinate is
 DISPLACEMENT `floor(x + flow) - x` has a tiny value range within any
 (8, 128) output tile. This kernel exploits that in two levels:
 
-  1. COARSE: per output tile, DMA one (C, 24, 256) source window from the
+  1. COARSE: per output tile, DMA (C, 24, 256) source windows from the
      HBM-resident planar image, positioned by the tile's minimum integer
-     displacement (precomputed on the XLA side, scalar-prefetched so the
-     next tile's window streams in while the current tile computes).
+     displacement — rows 8-aligned, columns at the 128-aligned floor of
+     min(ix) (both precomputed on the XLA side and scalar-prefetched, so
+     the next tile's window streams in while the current tile computes).
   2. FINE: loop over the tile's integer-displacement range with dynamic
-     `fori_loop` bounds (2-4 row shifts for smooth flow); per shift, the
-     bilinear tap weights are computed ONCE and reused across every
-     channel; the two x-taps are lane-gathers (`take_along_axis`) from an
-     unaligned 8-row slice of the VMEM window.
+     `fori_loop` bounds (2-4 row shifts for smooth flow); per shift, load
+     an unaligned 8-row slice of the window, lane-roll it so column
+     min(ix) sits on lane 0 (one unmasked gather window per 128 columns of
+     displacement spread), and gather the two x-taps with ONE 2-D
+     `take_along_axis` each, channels collapsed into sublanes; tap weights
+     are computed once per shift and broadcast across channels.
 
 Arbitrarily large displacement spreads (motion boundaries) stay exact: the
 kernel walks as many 16-row/256-col window steps as the tile needs, paying

@@ -170,3 +170,27 @@ class TestImageIO:
     names = ['frame_10.png', 'frame_2.png', 'frame_1.png']
     assert images.natural_sort(names) == [
         'frame_1.png', 'frame_2.png', 'frame_10.png']
+
+
+class TestExpandTree:
+
+  def test_expand_tree_matches_frontier_list(self, interp):
+    frames = _frames(4, seed=13)
+    want = interpolate_frontier(frames, 2, interp, max_batch=2)
+    got = np.asarray(interp.expand_tree_device(np.stack(frames), 2,
+                                               max_batch=2))
+    assert got.shape[0] == num_output_frames(4, 2)
+    for i in range(got.shape[0]):
+      np.testing.assert_allclose(got[i], want[i], atol=1e-6,
+                                 err_msg=f'frame {i}')
+
+  def test_expand_tree_ragged_chunks(self, interp):
+    # 3 pairs with max_batch 2: depth-1 has a ragged (padded) final chunk.
+    frames = _frames(4, seed=14)
+    got = np.asarray(interp.expand_tree_device(np.stack(frames), 1,
+                                               max_batch=2))
+    ref = list(interpolate_recursively(frames, 1, interp))
+    assert got.shape[0] == len(ref)
+    for i, frame in enumerate(ref):
+      np.testing.assert_allclose(got[i], frame, atol=2e-6,
+                                 err_msg=f'frame {i}')
