@@ -12,18 +12,15 @@ of ~70 ms on a 1080p x 67-channel warp. The displaced coordinate is
 DISPLACEMENT `floor(x + flow) - x` has a tiny value range within any
 (8, 128) output tile. This kernel exploits that in two levels:
 
-  1. COARSE: per output tile, DMA (C, 24, 256) source windows from the
+  1. COARSE: per output tile, DMA one (C, 24, 256) source window from the
      HBM-resident planar image, positioned by the tile's minimum integer
-     displacement — rows 8-aligned, columns at the 128-aligned floor of
-     min(ix) (both precomputed on the XLA side and scalar-prefetched, so
-     the next tile's window streams in while the current tile computes).
+     displacement (precomputed on the XLA side, scalar-prefetched so the
+     next tile's window streams in while the current tile computes).
   2. FINE: loop over the tile's integer-displacement range with dynamic
-     `fori_loop` bounds (2-4 row shifts for smooth flow); per shift, load
-     an unaligned 8-row slice of the window, lane-roll it so column
-     min(ix) sits on lane 0 (one unmasked gather window per 128 columns of
-     displacement spread), and gather the two x-taps with ONE 2-D
-     `take_along_axis` each, channels collapsed into sublanes; tap weights
-     are computed once per shift and broadcast across channels.
+     `fori_loop` bounds (2-4 row shifts for smooth flow); per shift, the
+     bilinear tap weights are computed ONCE and reused across every
+     channel; the two x-taps are lane-gathers (`take_along_axis`) from an
+     unaligned 8-row slice of the VMEM window.
 
 Arbitrarily large displacement spreads (motion boundaries) stay exact: the
 kernel walks as many 16-row/256-col window steps as the tile needs, paying
@@ -49,38 +46,33 @@ from .warp import _query_coords, backward_warp
 _TH = 8     # output tile rows (sublanes)
 _TW = 128   # output tile cols (lanes)
 _WIN_H = 24  # window rows: 16-row d-coverage + 8 slack for unaligned slices
-_WIN_W = 256  # window cols DMA'd: two source tiles, lane-rolled so the
-             # tile's min column lands on lane 0 — one UNMASKED 128-wide
-             # gather window per 128 columns of displacement spread
-_ROLL_W = 128  # recentered gather width (Mosaic gathers are 1 lane tile)
-# Channel block: bounds the triple-buffered (C, 24, 256) f32 window VMEM
-# (3 * 96 * 24KB = 6.9MB) plus the recentered (C, 24, 128) buffer.
-_MAX_CHANNEL_BLOCK = 96
+_WIN_W = 128  # window cols: one 128-col source tile per window step (Mosaic
+             # supports unaligned dynamic sublane starts only for loads that
+             # span the full minor dimension — see experiments/probe_mosaic)
+# Channel block: bounds the triple-buffered (C, 24, 128) f32 window VMEM
+# (3 * 144 * 12KB = 5.2MB, leaving room for the accumulator and index
+# tiles).
+_MAX_CHANNEL_BLOCK = 144
 
 
 def _round_up(x: int, m: int) -> int:
   return -(-x // m) * m
 
 
-def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
+def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
                         planes, out_ref, win, acc_ref, sem,
                         *, cb: int, n_sp: int, n_tx: int):
-  """One (cb, 8, 128) output tile against a recentered windowed source.
+  """One (cb, 8, 128) output tile against a windowed source.
 
   Args:
-    by_ref: scalar-prefetch (n_sp,) int32 — per spatial tile, the 8-aligned
-      row start of its first source window (logical; +8 guard rows are
-      added at DMA time).
-    cx_ref: scalar-prefetch (n_sp,) int32 — per spatial tile, min(ix):
-      the ELEMENT-granular column origin. DMAs start at its 128-aligned
-      floor; a dynamic lane roll then recenters the window so column
-      min(ix) sits on lane 0, making the typical tile ONE unmasked gather
-      window instead of two half-masked ones.
+    by_ref/bx_ref: scalar-prefetch (n_sp,) int32 — per spatial tile, the
+      8-aligned row / 128-aligned col start of its first source window
+      (row origin is logical; +8 guard rows are added at DMA time).
     iy/ix/ay/ax_ref: (8, 128) VMEM blocks of clamped integer corners and
       fractional weights for this tile.
-    planes: (Cp, Hpad, Wpad) source in HBM/ANY.
+    planes: (Cp, Hpad, Wp) source in HBM/ANY.
     out_ref: (cb, 8, 128) VMEM output block.
-    win: (3, cb, 24, 256) VMEM window scratch — slots 0/1 rotate per tile
+    win: (3, cb, 24, 128) VMEM window scratch — slots 0/1 rotate per tile
       for cross-tile streaming; slot 2 alternates with the tile slot for
       intra-tile multi-window pipelining.
     acc_ref: (cb, 8, 128) f32 VMEM accumulator (measured faster than a
@@ -97,8 +89,8 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
   c0 = ci * cb
 
   def window_dma(c_start, row0, col0, slot_index):
-    # row0 is 8-aligned and col0 128-aligned by construction; the hints let
-    # Mosaic slice the tiled HBM memref.
+    # row0 is 8-aligned and col0 128-aligned by construction
+    # (_tile_window_bases); the hints let Mosaic slice the tiled HBM memref.
     return pltpu.make_async_copy(
         planes.at[pl.ds(c_start, cb),
                   pl.ds(pl.multiple_of(row0 + 8, _TH), _WIN_H),
@@ -108,7 +100,7 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
   def first_window_dma(position, slot_index):
     tsp = jax.lax.rem(position, n_sp)
     return window_dma(jax.lax.div(position, n_sp) * cb,
-                      by_ref[tsp], (cx_ref[tsp] // _TW) * _TW, slot_index)
+                      by_ref[tsp], bx_ref[tsp], slot_index)
 
   @pl.when(pos == 0)
   def _():
@@ -128,12 +120,10 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
   d_min = jnp.min(dy)
   d_end = jnp.max(dy) + 2          # tap rows iy and iy+1 -> shifts [d, d+1]
   e_lo = by_ref[t] - ty8           # first window's shift origin (<= d_min)
-  cx = cx_ref[t]
-  bx = (cx // _TW) * _TW
-  s_x = cx - bx                    # recentering roll amount, in [0, 128)
-  roll_shift = jax.lax.rem(_WIN_W - s_x, _WIN_W)
+  cw_lo = bx_ref[t] // _TW
+  cw_hi = (jnp.max(ix) + 1) // _TW
   n_wy = pl.cdiv(d_end - e_lo, 16)
-  n_wx = pl.cdiv(jnp.max(ix) + 2 - cx, _ROLL_W)
+  n_wx = cw_hi + 1 - cw_lo
   n_w = n_wy * n_wx
 
   wx0_all = 1.0 - ax
@@ -143,7 +133,7 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
     # Row-major over (ky, kx): column windows of one row band are adjacent.
     ky = jax.lax.div(k, n_wx)
     kx = jax.lax.rem(k, n_wx)
-    return by_ref[t] + 16 * ky, bx + _ROLL_W * kx, kx
+    return by_ref[t] + 16 * ky, bx_ref[t] + _WIN_W * kx
 
   def win_slot(k):
     # Window 0 sits in the cross-tile slot; further windows alternate
@@ -151,23 +141,23 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
     return jnp.where(jax.lax.rem(k, 2) == 0, slot, 2)
 
   def window_body(k, _):
-    wy0, wx0, kx = win_origin(k)
+    wy0, wx0 = win_origin(k)
     my_slot = win_slot(k)
     window_dma(c0, wy0, wx0, my_slot).wait()
 
     # Pipeline: start the tile's next window before computing this one.
     @pl.when(k + 1 < n_w)
     def _():
-      ny0, nx0, _unused = win_origin(k + 1)
+      ny0, nx0 = win_origin(k + 1)
       window_dma(c0, ny0, nx0, win_slot(k + 1)).start()
 
     d_lo = jnp.maximum(d_min, wy0 - ty8)
     d_hi = jnp.minimum(d_end, wy0 - ty8 + 16)
-    lx = ix - cx - _ROLL_W * kx
-    lx0 = jnp.clip(lx, 0, _ROLL_W - 1)
-    lx1 = jnp.clip(lx + 1, 0, _ROLL_W - 1)
-    w0m = jnp.where((lx >= 0) & (lx < _ROLL_W), wx0_all, 0.0)
-    w1m = jnp.where((lx + 1 >= 0) & (lx + 1 < _ROLL_W), ax, 0.0)
+    lx = ix - wx0
+    lx0 = jnp.clip(lx, 0, _TW - 1)
+    lx1 = jnp.clip(lx + 1, 0, _TW - 1)
+    w0m = jnp.where((lx >= 0) & (lx < _TW), wx0_all, 0.0)
+    w1m = jnp.where((lx + 1 >= 0) & (lx + 1 < _TW), ax, 0.0)
 
     # Channels collapse into the sublane axis so each shift is ONE 2-D
     # lane-gather over all channels (Mosaic supports only 2-D gathers, and
@@ -175,8 +165,8 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
     # applied AFTER reshaping back to (cb, 8, 128), where broadcasting
     # along the channel axis is free.
     def tile_channels(x):
-      return jnp.broadcast_to(x[None], (cb, _TH, _ROLL_W)).reshape(
-          cb * _TH, _ROLL_W)
+      return jnp.broadcast_to(x[None], (cb, _TH, _TW)).reshape(
+          cb * _TH, _TW)
 
     lx0b = tile_channels(lx0)
     lx1b = tile_channels(lx1)
@@ -196,13 +186,7 @@ def _warp_window_kernel(by_ref, cx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       def _():
         row = ty8 + d - wy0
         src = win[my_slot, :, pl.ds(row, _TH), :].astype(jnp.float32)
-        # Recenter: after the roll, lane l holds source column
-        # cx + 128*kx + l, so gather indices are simply ix - cx - 128*kx
-        # — unmasked for the typical tile. Rolling the 8-row slice here
-        # (not the whole window) keeps the cost proportional to the
-        # shifts actually visited.
-        src = pltpu.roll(src.reshape(cb * _TH, _WIN_W), shift=roll_shift,
-                         axis=1)[:, :_ROLL_W]
+        src = src.reshape(cb * _TH, _TW)
         g0 = jnp.take_along_axis(src, lx0b, axis=1).reshape(cb, _TH, _TW)
         g1 = jnp.take_along_axis(src, lx1b, axis=1).reshape(cb, _TH, _TW)
         acc_ref[...] += w0[None] * g0 + w1[None] * g1
@@ -225,15 +209,16 @@ def _tile_window_bases(iy: jnp.ndarray, ix: jnp.ndarray,
   rows [ty*8 + d, ty*8 + d + 8), whose start ty*8 + min(dy) can sit up to 7
   rows below min(iy) (when the minimum displacement occurs on a lower
   sublane) and as low as -7 (handled by 8 guard rows at the top of the
-  padded planes). The column origin is element-granular min(ix): DMAs
-  start at its 128-aligned floor and a lane roll recenters the window.
+  padded planes). Columns need no such treatment: the lane gathers only
+  read columns in [min(ix), max(ix) + 1], all inside the aligned window.
   """
   rows = jnp.arange(n_ty * _TH, dtype=jnp.int32)[:, None]
   d_lo = jnp.min((iy - rows).reshape(n_ty, _TH, n_tx, _TW), axis=(1, 3))
   ty8 = jnp.arange(n_ty, dtype=jnp.int32)[:, None] * _TH
   by = ((ty8 + d_lo) // _TH) * _TH
-  cx = jnp.min(ix.reshape(n_ty, _TH, n_tx, _TW), axis=(1, 3))
-  return by.reshape(-1).astype(jnp.int32), cx.reshape(-1).astype(jnp.int32)
+  c_lo = jnp.min(ix.reshape(n_ty, _TH, n_tx, _TW), axis=(1, 3))
+  bx = (c_lo // _TW) * _TW
+  return by.reshape(-1).astype(jnp.int32), bx.reshape(-1).astype(jnp.int32)
 
 
 def _channel_block(c: int) -> int:
@@ -260,17 +245,16 @@ def _warp_window_single(image: jnp.ndarray, flow: jnp.ndarray,
   ix = jnp.pad(ix, pads, mode='edge')
   ay = jnp.pad(ay, pads, mode='edge')
   ax = jnp.pad(ax, pads, mode='edge')
-  by, cx = _tile_window_bases(iy, ix, n_ty, n_tx)
+  by, bx = _tile_window_bases(iy, ix, n_ty, n_tx)
 
   cb = _channel_block(c)
   cp = _round_up(c, cb)
   # Planar f32 source, padded so every window DMA stays in bounds: 8 guard
-  # rows on top (negative-displacement blocks can start at row -8),
-  # round8(h) + 32 below (window top can reach align8(h-1) + 23), and 256
-  # guard cols right (the last 256-wide window starts at align128(max ix)).
+  # rows on top (negative-displacement blocks can start at row -8) and
+  # round8(h) + 32 below (window top can reach align8(h-1) + 23); 128-col
+  # windows never cross round128(w).
   planes = jnp.transpose(image.astype(jnp.float32), (2, 0, 1))
-  planes = jnp.pad(planes,
-                   ((0, cp - c), (8, hp + 32 - h), (0, wp + 256 - w)))
+  planes = jnp.pad(planes, ((0, cp - c), (8, hp + 32 - h), (0, wp - w)))
 
   n_sp = n_ty * n_tx
   kernel = functools.partial(_warp_window_kernel, cb=cb, n_sp=n_sp,
@@ -294,7 +278,7 @@ def _warp_window_single(image: jnp.ndarray, flow: jnp.ndarray,
       grid_spec=grid_spec,
       out_shape=jax.ShapeDtypeStruct((cp, hp, wp), out_dtype),
       interpret=interpret,
-  )(by, cx, iy, ix, ay, ax, planes)
+  )(by, bx, iy, ix, ay, ax, planes)
   return jnp.transpose(out[:c, :h, :w], (1, 2, 0))
 
 
