@@ -50,7 +50,7 @@ def bench_video():
   dtype_policy = os.environ.get('BENCH_DTYPE', 'bfloat16')
   warp_impl = os.environ.get('BENCH_WARP', 'window')
   times = int(os.environ.get('BENCH_TIMES', '5'))
-  n_frames = int(os.environ.get('BENCH_FRAMES', '3'))
+  n_frames = int(os.environ.get('BENCH_FRAMES', '5'))
   height = int(os.environ.get('BENCH_HEIGHT', '1080'))
   width = int(os.environ.get('BENCH_WIDTH', '1920'))
   options = Options.film_net_released(dtype_policy=dtype_policy,
@@ -63,14 +63,27 @@ def bench_video():
   frames = [rng.rand(height, width, 3).astype(np.float32)
             for _ in range(n_frames)]
   n_mid = num_interpolated_frames(n_frames, times)
-  # Warmup compiles every batch bucket the frontier will use.
-  interpolate_frontier(frames, times, interp, max_batch=4)
+  # The serving path, as the dir CLI drives it: streaming chunks with the
+  # fetch of chunk k overlapped with the compute of chunk k+1, frames
+  # quantized to uint8 on device with the writers' exact rule (a quarter
+  # of the f32 fetch volume).
+  from frame_interpolation_tpu.inference import (
+      interpolate_frontier_streaming)
+
+  def run():
+    out = list(interpolate_frontier_streaming(
+        frames, times, interp, max_batch=4, pairs_per_chunk=1,
+        as_uint8=True))
+    assert len(out) == n_mid + n_frames
+    assert out[0].dtype == np.uint8
+    return out
+
+  run()  # warmup: compiles the chunk program
   best = float('inf')
   for _ in range(2):
     start = time.perf_counter()
-    out = interpolate_frontier(frames, times, interp, max_batch=4)
+    run()
     best = min(best, time.perf_counter() - start)
-    assert len(out) == n_mid + n_frames
   fps = n_mid / best
   print(json.dumps({
       'metric': 'video_interpolated_1080p_fps_T%d' % times,

@@ -1,37 +1,14 @@
-"""Two-level (window-DMA) Pallas TPU kernel for backward bilinear warping.
+"""EXPERIMENT: bf16-window variant of ops/warp_window.py (batched).
 
-Semantics are identical to `ops.warp.backward_warp` (the JAX equivalent of
-`tensorflow_addons.image.dense_image_warp` as used by the reference's
-models/film_net/util.py:48-82): per output pixel, a bilinear lookup at the
-flow-displaced coordinate with the tfa edge-clamp rule.
-
-Why another kernel. XLA lowers the warp to per-pixel gathers whose cost is
-bound by GATHERED-SLICE COUNT (~10 ns/slice, PERF.md), putting a hard floor
-of ~70 ms on a 1080p x 67-channel warp. The displaced coordinate is
-`x + flow`, and real flow fields are locally smooth, so the INTEGER
-DISPLACEMENT `floor(x + flow) - x` has a tiny value range within any
-(8, 128) output tile. This kernel exploits that in two levels:
-
-  1. COARSE: per output tile, DMA one (C, 24, 256) source window from the
-     HBM-resident planar image, positioned by the tile's minimum integer
-     displacement (precomputed on the XLA side, scalar-prefetched so the
-     next tile's window streams in while the current tile computes).
-  2. FINE: loop over the tile's integer-displacement range with dynamic
-     `fori_loop` bounds (2-4 row shifts for smooth flow); per shift, the
-     bilinear tap weights are computed ONCE and reused across every
-     channel; the two x-taps are lane-gathers (`take_along_axis`) from an
-     unaligned 8-row slice of the VMEM window.
-
-Arbitrarily large displacement spreads (motion boundaries) stay exact: the
-kernel walks as many 16-row/256-col window steps as the tile needs, paying
-extra DMAs only for those tiles. There is no fallback path and no
-approximation; parity with ops.warp.backward_warp is pinned in
-tests/test_warp_window.py.
-
-Gradients: wrapped in jax.custom_vjp, with the backward pass delegated to
-the XLA-gather formulation's VJP (identical math), so the kernel is safe to
-use under training as well.
+Generated from the production kernel by keeping the HBM planes and VMEM
+window scratch in the image dtype (bf16 under the serving policy) instead
+of converting to f32 up front: halves window DMA traffic and the vreg
+count of the per-shift unaligned 8-row load. The open question is whether
+Mosaic accepts the dynamic sublane-start slice on a sublane-packed
+(16, 128)-tiled bf16 buffer, and what it costs.
+Bench: experiments/bench_warp_window_bf16.py.
 """
+
 from __future__ import annotations
 
 import functools
@@ -41,7 +18,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .warp import _query_coords, backward_warp
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from frame_interpolation_tpu.ops.warp import _query_coords, backward_warp
 
 _TH = 8     # output tile rows (sublanes)
 _TW = 128   # output tile cols (lanes)
@@ -272,7 +252,7 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
   # rows on top (negative-displacement blocks can start at row -8) and
   # round8(h) + 32 below (window top can reach align8(h-1) + 23); 128-col
   # windows never cross round128(w).
-  planes = jnp.transpose(image.astype(jnp.float32), (0, 3, 1, 2))
+  planes = jnp.transpose(image, (0, 3, 1, 2))
   planes = jnp.pad(planes, ((0, 0), (0, cp - c), (8, hp + 32 - h),
                             (0, wp - w)))
   planes = planes.reshape(bsz * cp, hp + 40, wp)
@@ -290,7 +270,7 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
       out_specs=pl.BlockSpec((1, cb, _TH, _TW),
                              lambda b, ci, ty, tx, *refs: (b, ci, ty, tx)),
       scratch_shapes=[
-          pltpu.VMEM((3, cb, _WIN_H, _WIN_W), jnp.float32),
+          pltpu.VMEM((3, cb, _WIN_H, _WIN_W), image.dtype),
           pltpu.VMEM((cb, _TH, _TW), jnp.float32),
           pltpu.SemaphoreType.DMA((3,)),
       ])
@@ -304,7 +284,7 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def backward_warp_window(image: jnp.ndarray, flow: jnp.ndarray,
+def backward_warp_window_bf16(image: jnp.ndarray, flow: jnp.ndarray,
                          interpret: bool = False) -> jnp.ndarray:
   """Backward-warps `image` with `flow` via the window-DMA Pallas kernel.
 
@@ -332,4 +312,4 @@ def _bwd(interpret, residuals, g):
   return vjp(g)
 
 
-backward_warp_window.defvjp(_fwd, _bwd)
+backward_warp_window_bf16.defvjp(_fwd, _bwd)

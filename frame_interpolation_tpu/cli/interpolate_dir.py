@@ -101,10 +101,13 @@ def process_directory(directory: str, interpolator) -> None:
       frame_iter = recursion.interpolate_recursively_from_files(
           input_frames, times, interpolator)
   else:
+    # as_uint8: the PNG/mp4 writers quantize anyway; doing it on device
+    # (identical rule) quarters the device->host fetch volume.
     frame_iter = recursion.interpolate_frontier_streaming(
         input_frames, times, interpolator, max_batch=_MAX_BATCH.value,
         pairs_per_chunk=_PAIRS_PER_CHUNK.value or None,
-        memory_budget_bytes=int(_DEVICE_MEMORY_BUDGET_GB.value * 2**30))
+        memory_budget_bytes=int(_DEVICE_MEMORY_BUDGET_GB.value * 2**30),
+        as_uint8=True)
   os.makedirs(frames_dir, exist_ok=True)
 
   def stream():

@@ -128,8 +128,8 @@ class Interpolator:
     # on remote-tunneled TPUs); here every depth, its fixed-size forward
     # chunks (lax.map), and the time-order interleave run device-side, so a
     # chunk of the video costs one dispatch and one fetch.
-    @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-    def _expand_tree(params, frames, times, max_batch, align):
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+    def _expand_tree(params, frames, times, max_batch, align, as_uint8):
       def forward(x0, x1):
         time = jnp.full((x0.shape[0], 1), 0.5, jnp.float32)
         if align is not None:
@@ -161,15 +161,29 @@ class Interpolator:
         merged = jnp.stack([seq[:-1], mids], axis=1)
         merged = merged.reshape((2 * n,) + seq.shape[1:])
         seq = jnp.concatenate([merged, seq[-1:]])
+      if as_uint8:
+        # The io.images.to_uint8 rule (clip, *255, round half up), applied
+        # in-jit: the PNG/mp4 writers consume uint8, and fetching uint8
+        # quarters the D2H volume — material on tunneled TPU hosts where
+        # the fetch, not the compute, bounds video throughput.
+        seq = (jnp.clip(seq.astype(jnp.float32) * 255.0, 0.0, 255.0)
+               + 0.5).astype(jnp.uint8)
       return seq
 
     self._expand_tree = _expand_tree
 
   def expand_tree_device(self, frames: jnp.ndarray, times_to_interpolate: int,
-                         max_batch: int = 8) -> jnp.ndarray:
-    """Expands (N, H, W, 3) frames to ((N-1)*2^T + 1, H, W, 3) on device."""
+                         max_batch: int = 8,
+                         as_uint8: bool = False) -> jnp.ndarray:
+    """Expands (N, H, W, 3) frames to ((N-1)*2^T + 1, H, W, 3) on device.
+
+    With `as_uint8` the returned frames are quantized on device with the
+    exact io.images.to_uint8 rule (what write_image/write_video apply
+    anyway), quartering the device->host fetch.
+    """
     return self._expand_tree(self._params, jnp.asarray(frames, jnp.float32),
-                             times_to_interpolate, max_batch, self._align)
+                             times_to_interpolate, max_batch, self._align,
+                             as_uint8)
 
   def features_device(self, x: jnp.ndarray):
     """Reusable (image_pyramid, feature_pyramid) for frames (B, H, W, 3)."""

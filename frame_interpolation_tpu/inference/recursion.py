@@ -168,7 +168,8 @@ def interpolate_frontier_streaming(
     max_batch: int = 8,
     pairs_per_chunk: Optional[int] = None,
     memory_budget_bytes: int = 4 << 30,
-    progress: Optional[ProgressFn] = None
+    progress: Optional[ProgressFn] = None,
+    as_uint8: bool = False
 ) -> Generator[np.ndarray, None, None]:
   """Batched frontier recursion with bounded device memory.
 
@@ -190,9 +191,14 @@ def interpolate_frontier_streaming(
     memory_budget_bytes: device-memory budget used to derive the default
       `pairs_per_chunk` (model activations live outside this budget).
     progress: optional callback receiving the number of frames just produced.
+    as_uint8: quantize frames to uint8 on device (the writers' exact rule)
+      before fetching — a quarter of the device->host volume.
 
   Yields:
-    (n-1) * 2^T + 1 frames in time order, inputs included.
+    (n-1) * 2^T + 1 frames in time order, inputs included. The fetch of
+    each chunk overlaps the compute of the next (dispatch is async), so
+    sustained throughput approaches max(compute, fetch) instead of their
+    sum.
   """
 
   def load(frame):
@@ -201,35 +207,91 @@ def interpolate_frontier_streaming(
       return images.read_image(os.fspath(frame))
     return frame
 
+  def emit(frame):
+    if as_uint8:
+      from ..io import images
+      return images.to_uint8(frame)
+    return frame
+
   n = len(frames)
   if n == 0:
     return
   first = load(frames[0])
   if n < 2 or times_to_interpolate <= 0:
-    yield first
+    yield emit(first)
     for frame in frames[1:]:
-      yield load(frame)
+      yield emit(load(frame))
     return
+  tiled = (interpolator._block_shape is not None and
+           int(np.prod(interpolator._block_shape)) > 1)
   if pairs_per_chunk is None:
+    # Two chunks are resident while the fetch of one overlaps the compute
+    # of the next, so each gets half the budget.
     pairs_per_chunk = frontier_pairs_per_chunk(
-        first.nbytes, times_to_interpolate, memory_budget_bytes)
-  boundary = first
-  for start in range(0, n - 1, pairs_per_chunk):
-    stop = min(start + pairs_per_chunk, n - 1)
-    chunk = [boundary] + [load(f) for f in frames[start + 1:stop + 1]]
-    expanded = interpolate_frontier(chunk, times_to_interpolate, interpolator,
-                                    max_batch=max_batch, progress=progress)
-    last = stop == n - 1
-    for frame in expanded[:len(expanded) if last else -1]:
-      yield frame
-    boundary = chunk[-1]
+        first.nbytes, times_to_interpolate,
+        memory_budget_bytes if tiled else memory_budget_bytes // 2)
+
+  def chunks():
+    boundary = first
+    for start in range(0, n - 1, pairs_per_chunk):
+      stop = min(start + pairs_per_chunk, n - 1)
+      chunk = [boundary] + [load(f) for f in frames[start + 1:stop + 1]]
+      yield chunk, stop == n - 1
+      boundary = chunk[-1]
+
+  if tiled:
+    # Patch tiling is per-pair; no single-program expansion to overlap.
+    for chunk, last in chunks():
+      expanded = interpolate_frontier(chunk, times_to_interpolate,
+                                      interpolator, max_batch=max_batch,
+                                      progress=progress, as_uint8=as_uint8)
+      for frame in expanded[:len(expanded) if last else -1]:
+        yield frame
+    return
+
+  # Chunks are independent (each consumes only INPUT frames), so the
+  # device->host fetch of chunk k runs while chunk k+1 computes: dispatch
+  # is async, only jax.device_get blocks. On tunneled TPU hosts the fetch
+  # is comparable to the compute, so this overlap nearly doubles sustained
+  # video throughput.
+  def dispatch(chunk):
+    stacked = np.stack([np.asarray(f, np.float32) for f in chunk])
+    return interpolator.expand_tree_device(
+        stacked, times_to_interpolate, max_batch=max_batch,
+        as_uint8=as_uint8)
+
+  pending = None  # (device_array, is_last, n_chunk_inputs)
+  for chunk, last in chunks():
+    out = dispatch(chunk)
+    if pending is not None:
+      yield from _fetch_expanded(*pending, progress)
+    pending = (out, last, len(chunk))
+  yield from _fetch_expanded(*pending, progress)
+
+
+def _fetch_expanded(out_dev, last: bool, n_chunk_inputs: int,
+                    progress: Optional[ProgressFn]
+                    ) -> Generator[np.ndarray, None, None]:
+  """Fetches one expanded chunk and yields its frames in time order.
+
+  Drops the final frame unless `last`: it is the next chunk's first input
+  frame, which that chunk re-emits.
+  """
+  import jax
+  stacked = np.asarray(jax.device_get(out_dev))
+  if progress is not None:
+    progress(stacked.shape[0] - n_chunk_inputs)
+  stop = stacked.shape[0] if last else stacked.shape[0] - 1
+  for i in range(stop):
+    yield stacked[i]
 
 
 def interpolate_frontier(
     frames: Sequence[np.ndarray], times_to_interpolate: int,
     interpolator: Interpolator,
     max_batch: int = 8,
-    progress: Optional[ProgressFn] = None) -> List[np.ndarray]:
+    progress: Optional[ProgressFn] = None,
+    as_uint8: bool = False) -> List[np.ndarray]:
   """Breadth-first batched recursion: one device batch per tree depth.
 
   Args:
@@ -238,12 +300,17 @@ def interpolate_frontier(
     interpolator: the model wrapper.
     max_batch: chunk size cap for each batched device call.
     progress: optional callback receiving the number of frames just produced.
+    as_uint8: quantize frames to uint8 ON DEVICE with the exact
+      io.images.to_uint8 rule before fetching — identical written
+      PNG/mp4 bytes at a quarter of the device->host volume (the fetch,
+      not the compute, bounds video throughput on tunneled TPU hosts).
 
   Returns:
     The full time-ordered frame list, (n-1) * 2^T + 1 frames.
   """
   if len(frames) < 2 or times_to_interpolate <= 0:
-    return list(frames)
+    from ..io import images
+    return [images.to_uint8(f) for f in frames] if as_uint8 else list(frames)
   import jax
   import jax.numpy as jnp
 
@@ -258,7 +325,8 @@ def interpolate_frontier(
     # round-trip each, which dominates on remote-tunneled TPU hosts.
     stacked_in = np.stack([np.asarray(f, np.float32) for f in frames])
     out = interpolator.expand_tree_device(stacked_in, times_to_interpolate,
-                                          max_batch=max_batch)
+                                          max_batch=max_batch,
+                                          as_uint8=as_uint8)
     stacked = np.asarray(jax.device_get(out))
     if progress is not None:
       progress(stacked.shape[0] - len(frames))
@@ -284,5 +352,9 @@ def interpolate_frontier(
     merged.append(sequence[-1])
     sequence = merged
   # One batched fetch of the final sequence.
-  stacked = np.asarray(jax.device_get(jnp.stack(sequence)))
+  final = jnp.stack(sequence)
+  if as_uint8:
+    final = (jnp.clip(final.astype(jnp.float32) * 255.0, 0.0, 255.0)
+             + 0.5).astype(jnp.uint8)
+  stacked = np.asarray(jax.device_get(final))
   return [stacked[i] for i in range(stacked.shape[0])]

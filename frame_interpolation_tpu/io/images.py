@@ -34,8 +34,16 @@ def read_image(filename: str) -> np.ndarray:
 
 
 def to_uint8(image: np.ndarray) -> np.ndarray:
-  """Float [0,1] -> uint8 with the reference's round-half-up rule."""
-  clipped = np.clip(np.asarray(image, np.float32) * _UINT8_MAX_F, 0.0,
+  """Float [0,1] -> uint8 with the reference's round-half-up rule.
+
+  uint8 input passes through unchanged, so frames already quantized on
+  device (Interpolator.expand_tree_device(as_uint8=True) applies this
+  exact rule in-jit) are not double-converted.
+  """
+  image = np.asarray(image)
+  if image.dtype == np.uint8:
+    return image
+  clipped = np.clip(image.astype(np.float32) * _UINT8_MAX_F, 0.0,
                     _UINT8_MAX_F)
   return (clipped + 0.5).astype(np.uint8)
 

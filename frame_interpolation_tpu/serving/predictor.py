@@ -89,8 +89,11 @@ class Predictor:
       return out_path
 
     from ..inference import recursion
+    # as_uint8: write_video quantizes anyway; device-side quantization
+    # (identical rule) quarters the device->host fetch.
     frames = recursion.interpolate_frontier(
-        [image_1, image_2], times_to_interpolate, self.interpolator)
+        [image_1, image_2], times_to_interpolate, self.interpolator,
+        as_uint8=True)
     out_path = os.path.join(out_dir, 'out.mp4')
     video.write_video(out_path, frames, fps=fps)
     return out_path

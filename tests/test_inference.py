@@ -51,6 +51,30 @@ class TestRecursion:
     for i, (a, b) in enumerate(zip(recursive, frontier)):
       np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f'frame {i}')
 
+  def test_frontier_as_uint8_matches_host_quantization(self, interp):
+    # Device-side quantization (expand_tree as_uint8) must produce the
+    # exact bytes write_image/write_video would: io.images.to_uint8 of
+    # the f32 frames.
+    frames = _frames(3, seed=7)
+    f32 = interpolate_frontier(frames, 2, interp, max_batch=3)
+    quant = interpolate_frontier(frames, 2, interp, max_batch=3,
+                                 as_uint8=True)
+    assert all(f.dtype == np.uint8 for f in quant)
+    for i, (a, b) in enumerate(zip(f32, quant)):
+      np.testing.assert_array_equal(images.to_uint8(a), b,
+                                    err_msg=f'frame {i}')
+
+  def test_streaming_frontier_as_uint8(self, interp):
+    frames = _frames(3, seed=8)
+    full = interpolate_frontier(frames, 1, interp, max_batch=3,
+                                as_uint8=True)
+    streamed = list(interpolate_frontier_streaming(
+        frames, 1, interp, max_batch=3, pairs_per_chunk=1, as_uint8=True))
+    assert len(streamed) == len(full)
+    for i, (a, b) in enumerate(zip(full, streamed)):
+      assert b.dtype == np.uint8
+      np.testing.assert_array_equal(a, b, err_msg=f'frame {i}')
+
   @pytest.mark.parametrize('pairs_per_chunk', [1, 2, None])
   def test_streaming_frontier_matches_frontier(self, interp,
                                                pairs_per_chunk):
