@@ -55,8 +55,7 @@ def bench(fn, image, flow):
 
 
 def main():
-  print('platform:', jax.devices()[0].platform,
-        'convert:', ww16.WIN_CONVERT, flush=True)
+  print('platform:', jax.devices()[0].platform, flush=True)
   rng = np.random.RandomState(1)
   image = jnp.asarray(rng.rand(1, H, W, C).astype(np.float32),
                       dtype=jnp.bfloat16)

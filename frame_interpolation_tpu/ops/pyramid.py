@@ -80,6 +80,8 @@ def pyramid_warp(feature_pyramid: Sequence[jnp.ndarray],
   ]
 
 
+
+
 def concatenate_pyramids(pyramid1: Sequence[jnp.ndarray],
                          pyramid2: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
   """Concatenates matching levels along channels."""
