@@ -138,6 +138,74 @@ def bench_tiling4k():
       'vs_baseline': round(fps / BASELINE_FPS, 3)}))
 
 
+def bench_train():
+  """BENCH_MODE=train: single-chip train-step throughput.
+
+  The reference's training regime (training/config/film_net-L1.gin:25-34):
+  256x256 crops, batch 8, Adam + L1. Reports optimizer steps/sec on one
+  chip (the DP mesh scales this by the chip count; the 8-device sharding
+  itself is validated by __graft_entry__.dryrun_multichip and
+  tests/test_training.py).
+  """
+  import numpy as np
+
+  import jax
+  import jax.numpy as jnp
+
+  from frame_interpolation_tpu import losses as losses_lib
+  from frame_interpolation_tpu.models.film_net import FilmNet, init_params
+  from frame_interpolation_tpu.options import Options
+  from frame_interpolation_tpu.training import train_lib
+
+  batch = int(os.environ.get('BENCH_BATCH', '8'))
+  crop = int(os.environ.get('BENCH_CROP', '256'))
+  steps = int(os.environ.get('BENCH_ITERS', '8'))
+  trials = int(os.environ.get('BENCH_TRIALS', '3'))
+  dtype_policy = os.environ.get('BENCH_DTYPE', 'bfloat16')
+  options = Options.film_net_released(dtype_policy=dtype_policy,
+                                      use_aux_outputs=True,
+                                      warp_impl=os.environ.get(
+                                          'BENCH_WARP', 'auto'))
+  model = FilmNet(options)
+  params = init_params(model, jax.random.PRNGKey(0))
+  topts = train_lib.TrainingOptions()
+  optimizer = train_lib.create_optimizer(topts)
+  losses = losses_lib.training_losses(['l1'], loss_weights=[1.0])
+  step_fn = train_lib.make_train_step(
+      model, losses, optimizer,
+      augmentation_names=('random_flip', 'random_reverse'))
+  state = train_lib.create_train_state(params, optimizer)
+  rng = np.random.RandomState(0)
+  batch_arrays = {
+      'x0': jax.device_put(rng.rand(batch, crop, crop, 3).astype(np.float32)),
+      'x1': jax.device_put(rng.rand(batch, crop, crop, 3).astype(np.float32)),
+      'y': jax.device_put(rng.rand(batch, crop, crop, 3).astype(np.float32)),
+      'time': jax.device_put(np.full((batch, 1), 0.5, np.float32)),
+  }
+  key = jax.random.PRNGKey(1)
+
+  def run(state):
+    metrics = None
+    for i in range(steps):
+      state, metrics, _ = step_fn(state, batch_arrays,
+                                  jax.random.fold_in(key, i))
+    # The state chain serializes every step; one scalar fetch forces all.
+    value = float(jax.device_get(metrics['training_loss']))
+    assert np.isfinite(value)
+    return state
+
+  state = run(state)  # warmup/compile
+  best = float('inf')
+  for _ in range(trials):
+    start = time.perf_counter()
+    state = run(state)
+    best = min(best, time.perf_counter() - start)
+  sps = steps / best
+  print(json.dumps({
+      'metric': 'train_steps_per_sec_bs%d_%dpx_chip' % (batch, crop),
+      'value': round(sps, 3), 'unit': 'steps/sec', 'vs_baseline': None}))
+
+
 def main():
   import jax
   import jax.numpy as jnp
@@ -170,7 +238,7 @@ def main():
     return tiling.crop_to_bounding_box(image, **bbox)
 
   @jax.jit
-  def bench_loop(params, x0, x1, time_value):
+  def bench_loop_fn(params, x0, x1, time_value):
     def body(_, carry):
       a, b = carry
       mid = one_frame(params, a, b, time_value)
@@ -184,6 +252,17 @@ def main():
   x0 = jax.device_put(rng.rand(batch, height, width, 3).astype(np.float32))
   x1 = jax.device_put(rng.rand(batch, height, width, 3).astype(np.float32))
   tv = jax.device_put(np.full((batch, 1), 0.5, np.float32))
+
+  # BENCH_COMPILER_OPTIONS: JSON dict of XLA compile-option overrides,
+  # e.g. '{"xla_tpu_scoped_vmem_limit_kib": "32768"}'. Client-side
+  # XLA_FLAGS cannot reach the remote TPU compile helper on tunneled
+  # hosts; per-compile options travel inside the compile request.
+  copts = os.environ.get('BENCH_COMPILER_OPTIONS')
+  if copts:
+    bench_loop = bench_loop_fn.lower(params, x0, x1, tv).compile(
+        compiler_options=json.loads(copts))
+  else:
+    bench_loop = bench_loop_fn
 
   # Warmup: compiles and forces one full execution via the scalar fetch.
   float(bench_loop(params, x0, x1, tv))
@@ -211,5 +290,7 @@ if __name__ == '__main__':
     bench_video()
   elif mode == 'tiling4k':
     bench_tiling4k()
+  elif mode == 'train':
+    bench_train()
   else:
     main()
