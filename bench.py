@@ -253,11 +253,14 @@ def main():
   x1 = jax.device_put(rng.rand(batch, height, width, 3).astype(np.float32))
   tv = jax.device_put(np.full((batch, 1), 0.5, np.float32))
 
-  # BENCH_COMPILER_OPTIONS: JSON dict of XLA compile-option overrides,
-  # e.g. '{"xla_tpu_scoped_vmem_limit_kib": "32768"}'. Client-side
-  # XLA_FLAGS cannot reach the remote TPU compile helper on tunneled
-  # hosts; per-compile options travel inside the compile request.
-  copts = os.environ.get('BENCH_COMPILER_OPTIONS')
+  # BENCH_COMPILER_OPTIONS: JSON dict of XLA compile-option overrides
+  # (set empty to disable). Client-side XLA_FLAGS cannot reach the remote
+  # TPU compile helper on tunneled hosts; per-compile options travel
+  # inside the compile request. Default = the measured v5e sweet spot
+  # (PERF.md sweep: 2.441 -> 2.507 fps; 64+ MB OOM-kills the helper).
+  copts = os.environ.get(
+      'BENCH_COMPILER_OPTIONS',
+      '{"xla_tpu_scoped_vmem_limit_kib": "49152"}')
   if copts:
     bench_loop = bench_loop_fn.lower(params, x0, x1, tv).compile(
         compiler_options=json.loads(copts))

@@ -31,6 +31,7 @@ import numpy as np
 from ..models.film_net import FilmNet
 from ..ops import tiling
 from ..options import Options
+from ..utils import xla_options
 
 
 class Interpolator:
@@ -70,7 +71,7 @@ class Interpolator:
         image = tiling.crop_to_bounding_box(image, **bbox)
       return image
 
-    self._forward = _forward
+    self._forward = xla_options.aot_jit(_forward)
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def _forward_all(params, x0, x1, time, align):
@@ -85,7 +86,7 @@ class Interpolator:
             outputs['image'], **bbox)
       return outputs
 
-    self._forward_all = _forward_all
+    self._forward_all = xla_options.aot_jit(_forward_all)
 
     # Feature-caching split (PERF.md item 5): the midpoint-recursion tree
     # evaluates each frame in up to three pairs; these entry points let the
@@ -99,7 +100,7 @@ class Interpolator:
       return model.apply({'params': params}, x,
                          method=model.extract_features)
 
-    self._features = _features
+    self._features = xla_options.aot_jit(_features)
 
     @functools.partial(jax.jit, static_argnums=(4, 5))
     def _mid_and_features(params, f0, f1, time, orig_hw, align):
@@ -121,7 +122,7 @@ class Interpolator:
                              method=model.extract_features)
       return image, features
 
-    self._mid_and_features = _mid_and_features
+    self._mid_and_features = xla_options.aot_jit(_mid_and_features)
 
     # Whole-recursion-tree expansion as ONE jitted program: the frontier
     # driver's per-depth device calls each pay a dispatch round-trip (severe
@@ -170,7 +171,7 @@ class Interpolator:
                + 0.5).astype(jnp.uint8)
       return seq
 
-    self._expand_tree = _expand_tree
+    self._expand_tree = xla_options.aot_jit(_expand_tree)
 
   def expand_tree_device(self, frames: jnp.ndarray, times_to_interpolate: int,
                          max_batch: int = 8,
