@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Remote TPU compiles are minutes-slow; keep every run warm across
+# processes (AOT-compiled executables land in this cache too).
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jaxcache')
+
 BASELINE_FPS = 30.0
 
 

@@ -63,7 +63,11 @@ def probe_dynamic_roll():
   d = np.array([5], np.int32)
   out = _scalar_smem_call(
       kernel, jax.ShapeDtypeStruct((16, 128), jnp.float32), d, x)
-  return np.array_equal(np.asarray(out), np.roll(x, -5, axis=0))
+  # pltpu.roll == np.roll(+shift) on Mosaic AND the interpret fallback.
+  # (An earlier revision expected np.roll(-5) and recorded WRONG-RESULT;
+  # the lane_roll probe below can't tell directions apart because its
+  # shift is congruent to the negative shift mod width.)
+  return np.array_equal(np.asarray(out), np.roll(x, 5, axis=0))
 
 
 def probe_wide_take_along_axis():

@@ -327,7 +327,10 @@ def _fwd(image, flow, interpret):
 def _bwd(interpret, residuals, g):
   del interpret
   image, flow = residuals
-  # Identical math to the kernel; XLA's transpose-of-gather handles grads.
+  # Identical math to the kernel. backward_warp's own custom VJP routes
+  # the image cotangent to the window-splat kernel on TPU (XLA's
+  # transpose-of-gather is a serialized scatter there — see
+  # ops/warp_splat.py) and keeps the plain scatter elsewhere.
   _, vjp = jax.vjp(backward_warp, image, flow)
   return vjp(g)
 
