@@ -74,10 +74,13 @@ def bench_video():
   from frame_interpolation_tpu.inference import (
       interpolate_frontier_streaming)
 
+  max_batch = int(os.environ.get('BENCH_MAX_BATCH', '4'))
+  pairs_per_chunk = int(os.environ.get('BENCH_PAIRS_PER_CHUNK', '1'))
+
   def run():
     out = list(interpolate_frontier_streaming(
-        frames, times, interp, max_batch=4, pairs_per_chunk=1,
-        as_uint8=True))
+        frames, times, interp, max_batch=max_batch,
+        pairs_per_chunk=pairs_per_chunk, as_uint8=True))
     assert len(out) == n_mid + n_frames
     assert out[0].dtype == np.uint8
     return out
