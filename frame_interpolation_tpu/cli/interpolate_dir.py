@@ -95,8 +95,10 @@ def process_directory(directory: str, interpolator) -> None:
     # Feature caching halves feat_net work per midpoint with bit-identical
     # outputs; --nocache_features restores the naive per-pair forward.
     if _CACHE_FEATURES.value:
+      # as_uint8: the writers quantize anyway; device-side quantization
+      # (identical rule) quarters the per-midpoint fetch.
       frame_iter = recursion.interpolate_recursively_cached(
-          input_frames, times, interpolator)
+          input_frames, times, interpolator, as_uint8=True)
     else:
       frame_iter = recursion.interpolate_recursively_from_files(
           input_frames, times, interpolator)

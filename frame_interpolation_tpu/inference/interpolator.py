@@ -102,8 +102,8 @@ class Interpolator:
 
     self._features = xla_options.aot_jit(_features)
 
-    @functools.partial(jax.jit, static_argnums=(4, 5))
-    def _mid_and_features(params, f0, f1, time, orig_hw, align):
+    @functools.partial(jax.jit, static_argnums=(4, 5, 6))
+    def _mid_and_features(params, f0, f1, time, orig_hw, align, as_uint8):
       out = model.apply({'params': params}, f0, f1, time,
                         method=model.interpolate_from_features)
       image = out['image']
@@ -120,6 +120,12 @@ class Interpolator:
         repadded = image
       features = model.apply({'params': params}, repadded,
                              method=model.extract_features)
+      if as_uint8:
+        # The writers' exact quantization rule, applied in-jit: a quarter
+        # of the per-frame fetch (the recursion keeps feeding the f32
+        # `repadded` path, so outputs are unchanged).
+        image = (jnp.clip(image.astype(jnp.float32) * 255.0, 0.0, 255.0)
+                 + 0.5).astype(jnp.uint8)
       return image, features
 
     self._mid_and_features = xla_options.aot_jit(_mid_and_features)
@@ -191,16 +197,19 @@ class Interpolator:
     return self._features(self._params, jnp.asarray(x, jnp.float32),
                           self._align)
 
-  def midpoint_from_features_device(self, f0, f1, orig_hw):
+  def midpoint_from_features_device(self, f0, f1, orig_hw,
+                                    as_uint8: bool = False):
     """Midpoint frame (cropped to `orig_hw`) plus ITS features.
 
     The returned features equal features_device(midpoint) exactly, so
-    cached recursion reproduces the uncached one.
+    cached recursion reproduces the uncached one. `as_uint8` quantizes
+    the returned frame on device with the writers' exact rule (the
+    recursion itself keeps consuming the full-precision features).
     """
     batch = f0[0][0].shape[0]
     time = jnp.full((batch, 1), 0.5, jnp.float32)
     return self._mid_and_features(self._params, f0, f1, time,
-                                  tuple(orig_hw), self._align)
+                                  tuple(orig_hw), self._align, as_uint8)
 
   @property
   def options(self) -> Options:

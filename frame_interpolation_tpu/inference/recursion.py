@@ -85,8 +85,9 @@ def interpolate_recursively_from_files(
 def interpolate_recursively_cached(
     frames: Sequence[np.ndarray], times_to_interpolate: int,
     interpolator: Interpolator,
-    progress: Optional[ProgressFn] = None) -> Generator[np.ndarray, None,
-                                                         None]:
+    progress: Optional[ProgressFn] = None,
+    as_uint8: bool = False) -> Generator[np.ndarray, None,
+                                         None]:
   """In-order DFS with per-frame FEATURE CACHING (PERF.md item 5).
 
   `frames` may be arrays or file paths (loaded lazily, one pair at a
@@ -106,9 +107,17 @@ def interpolate_recursively_cached(
       return images.read_image(os.fspath(frame))
     return np.asarray(frame, np.float32)
 
+  def emit_host(frame):
+    # Input frames stay on the host; quantize with the same writers' rule
+    # the device applies to midpoints (io.images.to_uint8).
+    if as_uint8:
+      from ..io import images
+      return images.to_uint8(frame)
+    return frame
+
   if len(frames) < 2 or times_to_interpolate <= 0:
     for frame in frames:
-      yield load(frame)
+      yield emit_host(load(frame))
     return
   first = load(frames[0])
   orig_hw = first.shape[0], first.shape[1]
@@ -121,22 +130,24 @@ def interpolate_recursively_cached(
       yield frame1
       return
     mid_dev, mid_feat = interpolator.midpoint_from_features_device(
-        feat1, feat2, orig_hw)
+        feat1, feat2, orig_hw, as_uint8=as_uint8)
     mid = np.asarray(jax.device_get(mid_dev))[0]
     if progress is not None:
       progress(1)
     yield from recurse(frame1, feat1, mid, mid_feat, depth - 1)
     yield from recurse(mid, mid_feat, frame2, feat2, depth - 1)
 
+  # Frames are only ever YIELDED (the compute path runs on features), so
+  # input frames can be pre-quantized; device midpoints arrive quantized.
   right = first
   right_feat = features(first)
   for i in range(1, len(frames)):
-    left, left_feat = right, right_feat
+    left, left_feat = emit_host(right), right_feat
     right = load(frames[i])
     right_feat = features(right)
     yield from recurse(left, left_feat, right, right_feat,
                        times_to_interpolate)
-  yield right
+  yield emit_host(right)
 
 
 def num_output_frames(num_inputs: int, times_to_interpolate: int) -> int:

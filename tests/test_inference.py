@@ -135,6 +135,18 @@ class TestRecursion:
     for i, (a, b) in enumerate(zip(naive, cached)):
       np.testing.assert_array_equal(a, b, err_msg=f'frame {i}')
 
+  def test_cached_recursion_as_uint8(self, interp):
+    # Device-quantized frames must equal host-quantizing the f32 stream.
+    frames = _frames(3, seed=13)
+    f32 = list(interpolate_recursively_cached(frames, 2, interp))
+    quant = list(interpolate_recursively_cached(frames, 2, interp,
+                                                as_uint8=True))
+    assert len(quant) == len(f32)
+    for i, (a, b) in enumerate(zip(f32, quant)):
+      assert b.dtype == np.uint8
+      np.testing.assert_array_equal(images.to_uint8(a), b,
+                                    err_msg=f'frame {i}')
+
   def test_cached_recursion_loads_paths(self, interp, tmp_path):
     frames = _frames(2, seed=12)
     paths = []
