@@ -145,6 +145,45 @@ def bench_tiling4k():
       'vs_baseline': round(fps / BASELINE_FPS, 3)}))
 
 
+def _synthesize_released_shape_vgg(path):
+  """Writes a MatConvNet-layout VGG19 .mat with the RELEASED channel sizes
+  and random weights — same FLOPs/traffic as imagenet-vgg-verydeep-19.mat
+  (not mounted in this environment) for throughput benchmarking."""
+  import numpy as np
+  import scipy.io as sio
+
+  from frame_interpolation_tpu.losses.vgg19 import _CONV_INDICES
+
+  channels = (64, 64, 128, 128, 256, 256, 256, 256,
+              512, 512, 512, 512, 512, 512)
+  rng = np.random.RandomState(0)
+  num_slots = max(_CONV_INDICES) + 1
+  layers = np.empty((1, num_slots), dtype=object)
+  cin = 3
+  for index, cout in zip(_CONV_INDICES, channels):
+    weights_cell = np.empty((1, 2), dtype=object)
+    weights_cell[0, 0] = (rng.randn(3, 3, cin, cout) * 0.05).astype(
+        np.float32)
+    weights_cell[0, 1] = (rng.randn(cout, 1) * 0.1).astype(np.float32)
+    record = np.zeros((1, 1), dtype=[('name', 'O'), ('type', 'O'),
+                                     ('weights', 'O')])
+    record[0, 0]['name'] = 'conv'
+    record[0, 0]['type'] = 'conv'
+    record[0, 0]['weights'] = weights_cell
+    layers[0, index] = record
+    cin = cout
+  for i in range(num_slots):
+    if layers[0, i] is None:
+      record = np.zeros((1, 1), dtype=[('name', 'O'), ('type', 'O'),
+                                       ('weights', 'O')])
+      record[0, 0]['name'] = 'relu_or_pool'
+      record[0, 0]['type'] = 'misc'
+      record[0, 0]['weights'] = np.empty((0, 0), dtype=object)
+      layers[0, i] = record
+  sio.savemat(path, {'layers': layers})
+  return path
+
+
 def bench_train():
   """BENCH_MODE=train: single-chip train-step throughput.
 
@@ -168,6 +207,10 @@ def bench_train():
   crop = int(os.environ.get('BENCH_CROP', '256'))
   steps = int(os.environ.get('BENCH_ITERS', '8'))
   trials = int(os.environ.get('BENCH_TRIALS', '3'))
+  # BENCH_LOSSES=l1,vgg,style benchmarks the released Style objective;
+  # the environment has no released VGG .mat, so a released-SHAPE random
+  # one is synthesized (identical FLOPs and memory traffic).
+  loss_names = os.environ.get('BENCH_LOSSES', 'l1').split(',')
   dtype_policy = os.environ.get('BENCH_DTYPE', 'bfloat16')
   options = Options.film_net_released(dtype_policy=dtype_policy,
                                       use_aux_outputs=True,
@@ -177,7 +220,12 @@ def bench_train():
   params = init_params(model, jax.random.PRNGKey(0))
   topts = train_lib.TrainingOptions()
   optimizer = train_lib.create_optimizer(topts)
-  losses = losses_lib.training_losses(['l1'], loss_weights=[1.0])
+  vgg_file = None
+  if set(loss_names) - {'l1', 'l2', 'ssim', 'psnr', 'l1_warped'}:
+    vgg_file = _synthesize_released_shape_vgg('/tmp/bench_vgg19.mat')
+  losses = losses_lib.training_losses(
+      loss_names, loss_weights=[1.0] * len(loss_names),
+      vgg_model_file=vgg_file)
   step_fn = train_lib.make_train_step(
       model, losses, optimizer,
       augmentation_names=('random_flip', 'random_reverse'))
@@ -209,7 +257,8 @@ def bench_train():
     best = min(best, time.perf_counter() - start)
   sps = steps / best
   print(json.dumps({
-      'metric': 'train_steps_per_sec_bs%d_%dpx_chip' % (batch, crop),
+      'metric': 'train_steps_per_sec_%s_bs%d_%dpx_chip' % (
+          '_'.join(loss_names), batch, crop),
       'value': round(sps, 3), 'unit': 'steps/sec', 'vs_baseline': None}))
 
 
