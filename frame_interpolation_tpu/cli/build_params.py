@@ -76,5 +76,10 @@ def main(argv):
   print(f'Wrote parameter bundle to {output}')
 
 
+def cli():
+  """Console-script entry point (pyproject.toml)."""
+  app.run(main)
+
+
 if __name__ == '__main__':
   app.run(main)

@@ -54,5 +54,10 @@ def main(argv):
                _NUM_SHARDS.value, written)
 
 
+def cli():
+  """Console-script entry point (pyproject.toml)."""
+  app.run(main)
+
+
 if __name__ == '__main__':
   app.run(main)

@@ -74,34 +74,43 @@ def run_evaluation(interpolator, tfrecord: str, output_dir: str,
                                             with_path=True):
       outputs = interpolator.interpolate_all_outputs(
           example['x0'], example['x1'], example['time'][:, 0])
-      path = example['path'][0]
-      key = path.rsplit('.', 1)[0].rsplit(os.sep)[-1] if path else (
-          f'example_{sum(len(v) for v in all_losses.values()):05d}')
-
-      if output_frames:
-        combined = dict(outputs)
-        combined.update(
-            {k: v for k, v in example.items() if not isinstance(v, list)})
-        for name, tensor in combined.items():
-          tensor = np.asarray(tensor) if not isinstance(tensor, list) else None
-          if (tensor is not None and tensor.ndim == 4 and
-              tensor.shape[0] == 1 and tensor.shape[-1] in (1, 3)):
-            images.write_image(
-                os.path.join(output_dir, f'{key}_{name}.png'), tensor[0])
-
       # Clip only for metrics, as the reference does (eval_cli.py:160-166).
       prediction = {'image': jnp.clip(jnp.asarray(outputs['image']), 0.0,
                                       1.0)}
       for name in ('x0_warped', 'x1_warped'):
         if name in outputs:
           prediction[name] = jnp.asarray(outputs[name])
-      metric_example = {'y': jnp.asarray(example['y'])}
-      row = []
-      for loss_name, (loss_fn, weight_fn) in test_losses.items():
-        value = float(loss_fn(metric_example, prediction) * weight_fn(0))
-        row.append(value)
-        all_losses[loss_name].append(value)
-      print(f'{key}, ' + ', '.join(str(v) for v in row), file=csv_file)
+      batch_y = jnp.asarray(example['y'])
+
+      # One csv row PER EXAMPLE regardless of batch size: the device batch
+      # only amortizes dispatch; metrics are per-example, matching the
+      # reference's row format (eval_cli.py:160-170).
+      for i in range(int(batch_y.shape[0])):
+        paths = example.get('path') or []
+        path = paths[i] if i < len(paths) else ''
+        key = path.rsplit('.', 1)[0].rsplit(os.sep)[-1] if path else (
+            f'example_{sum(len(v) for v in all_losses.values()):05d}')
+
+        if output_frames:
+          combined = dict(outputs)
+          combined.update(
+              {k: v for k, v in example.items() if not isinstance(v, list)})
+          for name, tensor in combined.items():
+            tensor = (np.asarray(tensor)
+                      if not isinstance(tensor, list) else None)
+            if (tensor is not None and tensor.ndim == 4 and
+                tensor.shape[-1] in (1, 3)):
+              images.write_image(
+                  os.path.join(output_dir, f'{key}_{name}.png'), tensor[i])
+
+        prediction_i = {k: v[i:i + 1] for k, v in prediction.items()}
+        metric_example = {'y': batch_y[i:i + 1]}
+        row = []
+        for loss_name, (loss_fn, weight_fn) in test_losses.items():
+          value = float(loss_fn(metric_example, prediction_i) * weight_fn(0))
+          row.append(value)
+          all_losses[loss_name].append(value)
+        print(f'{key}, ' + ', '.join(str(v) for v in row), file=csv_file)
 
     totals = {name: float(np.mean(values)) if values else float('nan')
               for name, values in all_losses.items()}
@@ -134,6 +143,11 @@ def main(argv):
       output_frames=_OUTPUT_FRAMES.value, batch_size=_BATCH_SIZE.value,
       model_description=_PARAMS.value)
   print('mean:', ', '.join(f'{k}={v:.6f}' for k, v in totals.items()))
+
+
+def cli():
+  """Console-script entry point (pyproject.toml)."""
+  app.run(main)
 
 
 if __name__ == '__main__':

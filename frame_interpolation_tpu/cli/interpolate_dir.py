@@ -66,6 +66,13 @@ _DEVICE_MEMORY_BUDGET_GB = flags.DEFINE_float(
 _PLATFORM = flags.DEFINE_string(
     'platform', None,
     "Force a JAX platform (e.g. 'cpu'); default uses the best available.")
+_NUM_SHARDS = flags.DEFINE_integer(
+    'num_shards', 1,
+    'Fleet fan-out: total number of hosts splitting the directory list '
+    '(the Beam-runner replacement — run one invocation per host with '
+    'distinct --shard_index, e.g. from a GKE indexed job).')
+_SHARD_INDEX = flags.DEFINE_integer(
+    'shard_index', 0, 'This host\'s shard in [0, num_shards).')
 _WARP_IMPL = flags.DEFINE_enum(
     'warp_impl', 'auto', ['auto', 'gather', 'window'],
     'Backward-warp implementation: the window-DMA Pallas kernel on large '
@@ -137,12 +144,23 @@ def main(argv):
                        if os.path.isdir(d))
   if not directories:
     raise ValueError(f'No directories match pattern {_PATTERN.value}')
+  if _NUM_SHARDS.value > 1:
+    from ..utils import fanout
+    directories = fanout.shard(directories, _SHARD_INDEX.value,
+                               _NUM_SHARDS.value)
+    logging.info('Shard %d/%d: %d directories.', _SHARD_INDEX.value,
+                 _NUM_SHARDS.value, len(directories))
   interpolator = load_interpolator_from_flag(
       _PARAMS.value, _ALIGN.value,
       [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value],
       warp_impl=_WARP_IMPL.value)
   for directory in directories:
     process_directory(directory, interpolator)
+
+
+def cli():
+  """Console-script entry point (pyproject.toml)."""
+  app.run(main)
 
 
 if __name__ == '__main__':

@@ -72,5 +72,10 @@ def main(argv):
   print(f'Wrote {_OUTPUT_FRAME.value}')
 
 
+def cli():
+  """Console-script entry point (pyproject.toml)."""
+  app.run(main)
+
+
 if __name__ == '__main__':
   app.run(main)

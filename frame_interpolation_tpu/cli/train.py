@@ -167,5 +167,10 @@ def main(argv):
                   profile_dir=_PROFILE_DIR.value)
 
 
+def cli():
+  """Console-script entry point (pyproject.toml)."""
+  app.run(main)
+
+
 if __name__ == '__main__':
   app.run(main)

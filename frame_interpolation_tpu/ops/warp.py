@@ -126,6 +126,11 @@ def backward_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
   100x slower than the forward, dominating train steps); on TPU it is
   computed by the window-splat Pallas kernel (ops/warp_splat.py) instead,
   selected at lowering time so CPU keeps the plain scatter.
+
+  Note: jax.custom_vjp makes this REVERSE-MODE ONLY — jax.jvp/jacfwd
+  through any model using this warp raises. Forward-mode callers should
+  use the underlying `_backward_warp_raw` (plain XLA, differentiable both
+  ways, but with the serialized-scatter cotangent on TPU).
   """
   return _backward_warp_raw(image, flow)
 

@@ -59,10 +59,14 @@ def _parse_value(raw: str) -> Any:
   # gin schedule references: keep as a marker string.
   if raw.startswith('@'):
     return ('@ref', raw[1:])
-  if raw.startswith('[') and '@' in raw:
+  # A list of gin references: every element starts with an UNQUOTED '@'
+  # (a '@' inside a quoted string — e.g. 'train.tfrecord@200' shard specs —
+  # is data, not a reference).
+  if raw.startswith('['):
     inner = raw.strip('[]')
-    refs = [p.strip() for p in inner.split(',') if p.strip()]
-    return [('@ref', r[1:]) for r in refs if r.startswith('@')]
+    parts = [p.strip() for p in inner.split(',') if p.strip()]
+    if parts and all(p.startswith('@') for p in parts):
+      return [('@ref', p[1:]) for p in parts]
   return ast.literal_eval(raw)
 
 
@@ -136,6 +140,7 @@ def load_training_gin(path: str,
       crop_size=take('training_dataset.crop_size', 256),
       files=tuple(take('training_dataset.files', [])),
       crop_sizes=tuple(take('training_dataset.crop_sizes', [])),
+      weights=tuple(take('training_dataset.weights', [])),
       eval_files=tuple(take('eval_datasets.files', [])),
       eval_names=tuple(take('eval_datasets.names', [])),
       eval_batch_size=take('eval_datasets.batch_size', 1),

@@ -102,11 +102,17 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     augmentation_names: Sequence[str] = (),
     mesh=None,
+    with_summaries: bool = True,
 ) -> Callable:
   """Builds the jitted data-parallel train step.
 
   Returns step_fn(state, batch, rng) -> (state, metrics_dict). Batch axis 0
   is sharded over the mesh; state is replicated; XLA all-reduces grads.
+
+  `with_summaries=False` compiles a lean variant that returns no image
+  summaries: the hot-loop steps then neither materialize the summary
+  images in HBM nor keep `predictions` live through value_and_grad.
+  train_loop runs this variant except on logging steps.
   """
   augmentation_fns = augmentations_lib.data_augmentations(augmentation_names)
 
@@ -134,6 +140,8 @@ def make_train_step(
                            opt_state=opt_state)
     metrics = dict(per_loss)
     metrics['training_loss'] = total
+    if not with_summaries:
+      return new_state, metrics, {}
     # Image-shaped step outputs for TensorBoard, matching the reference's
     # image_summaries selection (train_lib.py:72-93): the training triplet,
     # the prediction, and any aux images the model emits.
@@ -234,8 +242,14 @@ def train_loop(
   """
   if mesh is None:
     mesh = mesh_lib.create_mesh()
+  # Two compiled variants: the lean one for hot-loop steps, the
+  # summary-emitting one only on logging steps (so non-logging steps pay
+  # neither the summary HBM materialization nor the predictions liveness).
   step_fn = make_train_step(model, losses, optimizer, augmentation_names,
-                            mesh)
+                            mesh, with_summaries=False)
+  summary_step_fn = make_train_step(model, losses, optimizer,
+                                    augmentation_names, mesh,
+                                    with_summaries=True)
   ckpt = CheckpointManager(os.path.join(run_dir, 'train'),
                            max_to_keep=opts.max_to_keep)
   restored = ckpt.restore(state)
@@ -259,8 +273,11 @@ def train_loop(
     device_batch = mesh_lib.shard_batch(
         {k: v for k, v in batch.items() if not isinstance(v, list)}, mesh)
     step_rng = jax.random.fold_in(rng, step)
-    state, metrics, summaries = step_fn(state, device_batch, step_rng)
     next_step = step + 1
+    will_log = (next_step % opts.save_interval == 0 or
+                next_step == opts.num_steps)
+    state, metrics, summaries = (summary_step_fn if will_log else step_fn)(
+        state, device_batch, step_rng)
     if profiling and next_step >= profile_start_step + profile_num_steps:
       jax.block_until_ready(metrics)
       jax.profiler.stop_trace()

@@ -57,6 +57,30 @@ class TestRunEvaluation:
     readme = open(os.path.join(out_dir, 'readme.txt')).read()
     assert 'test-model' in readme and eval_tfrecord in readme
 
+  def test_batched_eval_rows_match_batch1(self, interp, eval_tfrecord,
+                                          tmp_path):
+    """batch_size>1 must still write one correctly-keyed row PER example."""
+    out1 = str(tmp_path / 'b1')
+    out3 = str(tmp_path / 'b3')
+    totals1 = eval_benchmark.run_evaluation(
+        interp, eval_tfrecord, out1, max_examples=-1, metrics=['l1', 'psnr'])
+    totals3 = eval_benchmark.run_evaluation(
+        interp, eval_tfrecord, out3, max_examples=-1, metrics=['l1', 'psnr'],
+        batch_size=3)  # 4 examples -> batches of 3 + 1
+    lines1 = open(os.path.join(out1, 'results.csv')).read().splitlines()
+    lines3 = open(os.path.join(out3, 'results.csv')).read().splitlines()
+    assert len(lines3) == 1 + 4 + 1  # header + one row per example + mean
+    keys3 = [line.split(',')[0] for line in lines3[1:-1]]
+    assert keys3 == [f'example_{i:02d}' for i in range(4)]
+    for l1, l3 in zip(lines1[1:], lines3[1:]):
+      k1, *v1 = l1.split(',')
+      k3, *v3 = l3.split(',')
+      assert k1 == k3
+      np.testing.assert_allclose([float(v) for v in v1],
+                                 [float(v) for v in v3], rtol=1e-4)
+    for name in totals1:
+      np.testing.assert_allclose(totals3[name], totals1[name], rtol=1e-4)
+
   def test_max_examples_and_frame_dumps(self, interp, eval_tfrecord,
                                         tmp_path):
     out_dir = str(tmp_path / 'dumps')

@@ -65,6 +65,17 @@ class TestParser:
     assert bindings == {'foo.bar': [1, 2, 3], 'foo.name': 'abc',
                         'foo.flag': True}
 
+  def test_multi_source_weights_parsed(self, tmp_path):
+    """training_dataset.weights must reach DatasetConfig (sampling mix)."""
+    path = str(tmp_path / 'multi.gin')
+    open(path, 'w').write(
+        "training_dataset.files = ['a.tfrecord@2', 'b.tfrecord@2']\n"
+        "training_dataset.crop_sizes = [256, 256]\n"
+        "training_dataset.weights = [0.75, 0.25]\n")
+    config = gin_compat.load_training_gin(path)
+    assert config.dataset.files == ('a.tfrecord@2', 'b.tfrecord@2')
+    assert config.dataset.weights == (0.75, 0.25)
+
   def test_unknown_binding_rejected(self, tmp_path):
     path = str(tmp_path / 'bad.gin')
     open(path, 'w').write("training.learning_rate = 1e-4\nwho.knows = 3\n")

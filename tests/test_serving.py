@@ -86,3 +86,24 @@ class TestProfiling:
     rate = timer.update(10)
     assert rate is not None and rate > 0
     assert timer.update(11) is None
+
+
+class TestCogAdapter:
+
+  def test_cog_adapter_is_valid_python(self):
+    """cog isn't installed here; at least pin the adapter's syntax and
+    that it only maps IO onto the cog-free Predictor."""
+    import ast
+    import frame_interpolation_tpu.serving as serving
+    path = os.path.join(os.path.dirname(serving.__file__),
+                        'cog_predict.py')
+    tree = ast.parse(open(path).read())
+    classes = [n.name for n in ast.walk(tree)
+               if isinstance(n, ast.ClassDef)]
+    assert 'CogPredictor' in classes
+
+  def test_cog_yaml_points_at_adapter(self):
+    import frame_interpolation_tpu.serving as serving
+    text = open(os.path.join(os.path.dirname(serving.__file__),
+                             'cog.yaml')).read()
+    assert 'cog_predict.py:CogPredictor' in text

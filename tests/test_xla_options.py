@@ -21,14 +21,14 @@ class TestAotJit:
 
   def test_passthrough_when_env_unset(self, monkeypatch):
     monkeypatch.delenv('FI_COMPILER_OPTIONS', raising=False)
-    wrapped = xla_options.aot_jit(_jitted())
+    wrapped = xla_options.aot_jit(_jitted(), static_argnums=(1,))
     out = wrapped(jnp.ones((4,)), 3)
     np.testing.assert_allclose(np.asarray(out), 3.0)
     assert not wrapped._compiled  # plain jit path, nothing AOT-compiled
 
   def test_aot_path_compiles_and_caches(self, monkeypatch):
     monkeypatch.setenv('FI_COMPILER_OPTIONS', '{}')
-    wrapped = xla_options.aot_jit(_jitted())
+    wrapped = xla_options.aot_jit(_jitted(), static_argnums=(1,))
     out = wrapped(jnp.ones((4,)), 3)
     np.testing.assert_allclose(np.asarray(out), 3.0)
     assert len(wrapped._compiled) == 1
@@ -41,6 +41,56 @@ class TestAotJit:
     out2d = wrapped(jnp.ones((2, 2)), 3)
     np.testing.assert_allclose(np.asarray(out2d), 3.0)
     assert len(wrapped._compiled) == 3
+
+  def test_cache_key_includes_structure(self, monkeypatch):
+    """Same leaves under different pytree structures must not alias."""
+    monkeypatch.setenv('FI_COMPILER_OPTIONS', '{}')
+
+    @jax.jit
+    def f(tree):
+      leaves = jax.tree_util.tree_leaves(tree)
+      return sum(jnp.sum(leaf) for leaf in leaves)
+
+    wrapped = xla_options.aot_jit(f)
+    a = wrapped((jnp.ones((2,)), jnp.ones((3,))))
+    b = wrapped({'x': jnp.ones((2,)), 'y': jnp.ones((3,))})
+    np.testing.assert_allclose(np.asarray(a), 5.0)
+    np.testing.assert_allclose(np.asarray(b), 5.0)
+    assert len(wrapped._compiled) == 2
+
+  def test_cache_is_bounded(self, monkeypatch):
+    monkeypatch.setenv('FI_COMPILER_OPTIONS', '{}')
+    monkeypatch.setattr(xla_options, '_CACHE_SIZE', 3)
+    wrapped = xla_options.aot_jit(_jitted(), static_argnums=(1,))
+    for scale in range(6):
+      wrapped(jnp.ones((4,)), scale)
+    assert len(wrapped._compiled) == 3
+
+  def test_compile_failure_falls_back_to_plain_jit(self, monkeypatch,
+                                                   capsys):
+    """A dying AOT path must never leave the caller without a result.
+
+    This is the round-2 driver-bench failure mode: compile-time env
+    crashes in the AOT path produced rc=1 and no benchmark line.
+    """
+    monkeypatch.setenv('FI_COMPILER_OPTIONS', '{}')
+    jitted = _jitted()
+
+    class Exploding:
+      def lower(self, *args):
+        raise RuntimeError('simulated libtpu topology init failure')
+
+      def __call__(self, *args):
+        return jitted(*args)
+
+    wrapped = xla_options.aot_jit(Exploding(), static_argnums=(1,))
+    out = wrapped(jnp.ones((4,)), 3)
+    np.testing.assert_allclose(np.asarray(out), 3.0)
+    assert wrapped._failed
+    assert 'falling back to plain jit' in capsys.readouterr().err
+    # Subsequent calls skip the broken AOT path entirely.
+    out = wrapped(jnp.ones((4,)), 5)
+    np.testing.assert_allclose(np.asarray(out), 5.0)
 
   def test_env_parsing(self, monkeypatch):
     monkeypatch.delenv('FI_COMPILER_OPTIONS', raising=False)

@@ -327,9 +327,9 @@ def save_oracle_saved_model(model: OracleFilmNet, opts: Options, path: str,
                             height: int, width: int) -> None:
   """Exports a SavedModel with a serving signature, like the reference."""
   spec = {
-      'x0': tf.TensorSpec([None, None, None, 3], tf.float32),
-      'x1': tf.TensorSpec([None, None, None, 3], tf.float32),
-      'time': tf.TensorSpec([None, 1], tf.float32),
+      'x0': tf.TensorSpec([None, None, None, 3], tf.float32, name='x0'),
+      'x1': tf.TensorSpec([None, None, None, 3], tf.float32, name='x1'),
+      'time': tf.TensorSpec([None, 1], tf.float32, name='time'),
   }
 
   @tf.function(input_signature=[spec])
