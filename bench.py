@@ -64,23 +64,28 @@ def bench_video():
   params = init_params(model, jax.random.PRNGKey(0))
   interp = Interpolator(params, options, align=64)
   rng = np.random.RandomState(0)
-  frames = [rng.rand(height, width, 3).astype(np.float32)
+  # Raw uint8 frames: the serving inputs ARE 8-bit PNGs, and the streaming
+  # driver ships them uint8 (converted in-jit, bit-identical to the f32
+  # read path) — a quarter of the H2D transfer.
+  frames = [rng.randint(0, 256, (height, width, 3), dtype=np.uint8)
             for _ in range(n_frames)]
   n_mid = num_interpolated_frames(n_frames, times)
   # The serving path, as the dir CLI drives it: streaming chunks with the
-  # fetch of chunk k overlapped with the compute of chunk k+1, frames
-  # quantized to uint8 on device with the writers' exact rule (a quarter
-  # of the f32 fetch volume).
+  # fetch of chunk k overlapped with the compute of the next
+  # pipeline-depth chunks, frames quantized to uint8 on device with the
+  # writers' exact rule (a quarter of the f32 fetch volume).
   from frame_interpolation_tpu.inference import (
       interpolate_frontier_streaming)
 
   max_batch = int(os.environ.get('BENCH_MAX_BATCH', '4'))
   pairs_per_chunk = int(os.environ.get('BENCH_PAIRS_PER_CHUNK', '1'))
+  pipeline_depth = int(os.environ.get('BENCH_PIPELINE_DEPTH', '2'))
 
   def run():
     out = list(interpolate_frontier_streaming(
         frames, times, interp, max_batch=max_batch,
-        pairs_per_chunk=pairs_per_chunk, as_uint8=True))
+        pairs_per_chunk=pairs_per_chunk, as_uint8=True,
+        pipeline_depth=pipeline_depth))
     assert len(out) == n_mid + n_frames
     assert out[0].dtype == np.uint8
     return out
@@ -226,9 +231,12 @@ def bench_train():
   losses = losses_lib.training_losses(
       loss_names, loss_weights=[1.0] * len(loss_names),
       vgg_model_file=vgg_file)
+  # The hot-loop variant: train_loop only compiles summary outputs into
+  # the (rare) logging steps, so the sustained rate is the lean step's.
   step_fn = train_lib.make_train_step(
       model, losses, optimizer,
-      augmentation_names=('random_flip', 'random_reverse'))
+      augmentation_names=('random_flip', 'random_reverse'),
+      with_summaries=False)
   state = train_lib.create_train_state(params, optimizer)
   rng = np.random.RandomState(0)
   batch_arrays = {
@@ -314,14 +322,23 @@ def main():
   # TPU compile helper on tunneled hosts; per-compile options travel
   # inside the compile request. Default = the measured v5e sweet spot
   # (PERF.md sweep: 2.441 -> 2.507 fps; 64+ MB OOM-kills the helper).
+  # FAIL-SAFE: the AOT path can die on compile-time env flakes (round 2:
+  # the axon client's local libtpu topology init crashed on missing TPU_*
+  # env vars, leaving the round with NO recorded number). A bench that can
+  # print nothing is a broken bench — any AOT failure falls back to the
+  # plain jitted loop, which needs no client-side topology.
   copts = os.environ.get(
       'BENCH_COMPILER_OPTIONS',
       '{"xla_tpu_scoped_vmem_limit_kib": "49152"}')
+  bench_loop = bench_loop_fn
   if copts:
-    bench_loop = bench_loop_fn.lower(params, x0, x1, tv).compile(
-        compiler_options=json.loads(copts))
-  else:
-    bench_loop = bench_loop_fn
+    try:
+      bench_loop = bench_loop_fn.lower(params, x0, x1, tv).compile(
+          compiler_options=json.loads(copts))
+    except Exception as e:
+      print('bench: AOT compiler-options path failed (%s: %s); '
+            'falling back to plain jit.' % (type(e).__name__, e),
+            file=sys.stderr)
 
   # Warmup: compiles and forces one full execution via the scalar fetch.
   float(bench_loop(params, x0, x1, tv))

@@ -34,6 +34,22 @@ from ..options import Options
 from ..utils import xla_options
 
 
+# Split-constant reciprocal: XLA rewrites `x / 255.0` into multiplication
+# by fl(1/255), which differs from the correctly-rounded division (what
+# io.images.read_image computes on the host) in the last ulp for 126 of
+# the 256 byte values. x*c_hi + x*c_lo restores exact agreement for all
+# 256 values (pinned in tests/test_inference.py).
+_U8_C_HI = np.float32(1.0 / 255.0)
+_U8_C_LO = np.float32(1.0 / 255.0 - float(np.float32(1.0 / 255.0)))
+
+
+@jax.jit
+def _u8_to_unit_f32(frames: jnp.ndarray) -> jnp.ndarray:
+  """uint8 -> [0,1] f32 on device, bit-identical to images.read_image."""
+  x = frames.astype(jnp.float32)
+  return x * _U8_C_HI + x * _U8_C_LO
+
+
 class Interpolator:
   """Generates the frame between two frames with the film_net model.
 
@@ -71,7 +87,7 @@ class Interpolator:
         image = tiling.crop_to_bounding_box(image, **bbox)
       return image
 
-    self._forward = xla_options.aot_jit(_forward)
+    self._forward = xla_options.aot_jit(_forward, static_argnums=(4,))
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def _forward_all(params, x0, x1, time, align):
@@ -86,7 +102,7 @@ class Interpolator:
             outputs['image'], **bbox)
       return outputs
 
-    self._forward_all = xla_options.aot_jit(_forward_all)
+    self._forward_all = xla_options.aot_jit(_forward_all, static_argnums=(4,))
 
     # Feature-caching split (PERF.md item 5): the midpoint-recursion tree
     # evaluates each frame in up to three pairs; these entry points let the
@@ -100,7 +116,7 @@ class Interpolator:
       return model.apply({'params': params}, x,
                          method=model.extract_features)
 
-    self._features = xla_options.aot_jit(_features)
+    self._features = xla_options.aot_jit(_features, static_argnums=(2,))
 
     @functools.partial(jax.jit, static_argnums=(4, 5, 6))
     def _mid_and_features(params, f0, f1, time, orig_hw, align, as_uint8):
@@ -128,7 +144,7 @@ class Interpolator:
                  + 0.5).astype(jnp.uint8)
       return image, features
 
-    self._mid_and_features = xla_options.aot_jit(_mid_and_features)
+    self._mid_and_features = xla_options.aot_jit(_mid_and_features, static_argnums=(4, 5, 6))
 
     # Whole-recursion-tree expansion as ONE jitted program: the frontier
     # driver's per-depth device calls each pay a dispatch round-trip (severe
@@ -177,7 +193,7 @@ class Interpolator:
                + 0.5).astype(jnp.uint8)
       return seq
 
-    self._expand_tree = xla_options.aot_jit(_expand_tree)
+    self._expand_tree = xla_options.aot_jit(_expand_tree, static_argnums=(2, 3, 4, 5))
 
   def expand_tree_device(self, frames: jnp.ndarray, times_to_interpolate: int,
                          max_batch: int = 8,
@@ -186,9 +202,22 @@ class Interpolator:
 
     With `as_uint8` the returned frames are quantized on device with the
     exact io.images.to_uint8 rule (what write_image/write_video apply
-    anyway), quartering the device->host fetch.
+    anyway), quartering the device->host fetch. uint8 INPUT frames (e.g.
+    raw PNG bytes from io.images.read_image_uint8) are accepted directly:
+    they transfer at a quarter of the f32 volume and are converted on
+    device in a SEPARATE tiny jit, so the tree program is the identical
+    f32 executable and the outputs are bit-identical to the f32-input
+    path (IEEE u8->f32 /255 matches the host conversion exactly; fusing
+    the convert INTO the tree program would let XLA reassociate it with
+    the model's bf16 casts and flip rare quantization-boundary pixels —
+    caught by the verify drive on the reference photos).
     """
-    return self._expand_tree(self._params, jnp.asarray(frames, jnp.float32),
+    frames = jnp.asarray(frames)
+    if frames.dtype == jnp.uint8:
+      frames = _u8_to_unit_f32(frames)
+    else:
+      frames = frames.astype(jnp.float32)
+    return self._expand_tree(self._params, frames,
                              times_to_interpolate, max_batch, self._align,
                              as_uint8)
 

@@ -168,8 +168,15 @@ def frontier_pairs_per_chunk(frame_nbytes: int, times_to_interpolate: int,
   reference instead streams with O(1) frames (eval/util.py:62-123), so
   bounding the chunk keeps peak HBM independent of sequence length while
   preserving the batched-tree speedup within a chunk.
+
+  The per-pair estimate carries a x3 expansion-overhead factor: inside
+  _expand_tree the final depth transiently holds seq, mids, and the merged
+  stack in f32 before any uint8 cast (~3x the finished tree), and the
+  streaming driver keeps two chunks resident during fetch/compute overlap
+  (that part is budgeted by interpolate_frontier_streaming's halving).
   """
-  tree = max(1, frame_nbytes) * 2**times_to_interpolate
+  expansion_overhead = 3
+  tree = max(1, frame_nbytes) * 2**times_to_interpolate * expansion_overhead
   return max(1, (memory_budget_bytes - frame_nbytes) // tree)
 
 
@@ -180,7 +187,8 @@ def interpolate_frontier_streaming(
     pairs_per_chunk: Optional[int] = None,
     memory_budget_bytes: int = 4 << 30,
     progress: Optional[ProgressFn] = None,
-    as_uint8: bool = False
+    as_uint8: bool = False,
+    pipeline_depth: int = 2
 ) -> Generator[np.ndarray, None, None]:
   """Batched frontier recursion with bounded device memory.
 
@@ -204,6 +212,10 @@ def interpolate_frontier_streaming(
     progress: optional callback receiving the number of frames just produced.
     as_uint8: quantize frames to uint8 on device (the writers' exact rule)
       before fetching — a quarter of the device->host volume.
+    pipeline_depth: chunks kept in flight ahead of the fetch (>= 1). Depth
+      2 lets the fetch of chunk k overlap the compute of chunks k+1 AND
+      k+2, hiding fetches that outlast one chunk's compute (the round-2
+      residual video/pair gap); the memory budget is split depth+1 ways.
 
   Yields:
     (n-1) * 2^T + 1 frames in time order, inputs included. The fetch of
@@ -214,14 +226,19 @@ def interpolate_frontier_streaming(
 
   def load(frame):
     if isinstance(frame, (str, os.PathLike)):
+      # Raw uint8: expand_tree_device converts in-jit (bit-identical to
+      # read_image) at a quarter of the H2D volume.
       from ..io import images
-      return images.read_image(os.fspath(frame))
+      return images.read_image_uint8(os.fspath(frame))
     return frame
 
   def emit(frame):
+    from ..io import images
     if as_uint8:
-      from ..io import images
       return images.to_uint8(frame)
+    if frame.dtype == np.uint8:
+      # Keep the f32 output contract when inputs rode the uint8 path.
+      return frame.astype(np.float32) / 255.0
     return frame
 
   n = len(frames)
@@ -235,12 +252,16 @@ def interpolate_frontier_streaming(
     return
   tiled = (interpolator._block_shape is not None and
            int(np.prod(interpolator._block_shape)) > 1)
+  pipeline_depth = max(1, int(pipeline_depth))
   if pairs_per_chunk is None:
-    # Two chunks are resident while the fetch of one overlaps the compute
-    # of the next, so each gets half the budget.
+    # depth+1 chunks are resident while the fetch of one overlaps the
+    # compute of the in-flight ones, so each gets a budget share. The
+    # device tree is f32 regardless of the input frames' dtype.
+    frame_f32_nbytes = int(first.size) * 4
     pairs_per_chunk = frontier_pairs_per_chunk(
-        first.nbytes, times_to_interpolate,
-        memory_budget_bytes if tiled else memory_budget_bytes // 2)
+        frame_f32_nbytes, times_to_interpolate,
+        memory_budget_bytes if tiled
+        else memory_budget_bytes // (pipeline_depth + 1))
 
   def chunks():
     boundary = first
@@ -261,23 +282,26 @@ def interpolate_frontier_streaming(
     return
 
   # Chunks are independent (each consumes only INPUT frames), so the
-  # device->host fetch of chunk k runs while chunk k+1 computes: dispatch
-  # is async, only jax.device_get blocks. On tunneled TPU hosts the fetch
-  # is comparable to the compute, so this overlap nearly doubles sustained
-  # video throughput.
+  # device->host fetch of chunk k runs while chunks k+1..k+depth compute:
+  # dispatch is async, only jax.device_get blocks. On tunneled TPU hosts
+  # the fetch is comparable to the compute, so this overlap nearly doubles
+  # sustained video throughput; depth 2 additionally hides fetches that
+  # outlast a single chunk's compute.
   def dispatch(chunk):
-    stacked = np.stack([np.asarray(f, np.float32) for f in chunk])
+    # np.stack preserves uint8 inputs; expand_tree_device converts in-jit.
+    stacked = np.stack([np.asarray(f) for f in chunk])
     return interpolator.expand_tree_device(
         stacked, times_to_interpolate, max_batch=max_batch,
         as_uint8=as_uint8)
 
-  pending = None  # (device_array, is_last, n_chunk_inputs)
+  import collections
+  pending = collections.deque()  # (device_array, is_last, n_chunk_inputs)
   for chunk, last in chunks():
-    out = dispatch(chunk)
-    if pending is not None:
-      yield from _fetch_expanded(*pending, progress)
-    pending = (out, last, len(chunk))
-  yield from _fetch_expanded(*pending, progress)
+    pending.append((dispatch(chunk), last, len(chunk)))
+    if len(pending) > pipeline_depth:
+      yield from _fetch_expanded(*pending.popleft(), progress)
+  while pending:
+    yield from _fetch_expanded(*pending.popleft(), progress)
 
 
 def _fetch_expanded(out_dev, last: bool, n_chunk_inputs: int,
@@ -319,9 +343,14 @@ def interpolate_frontier(
   Returns:
     The full time-ordered frame list, (n-1) * 2^T + 1 frames.
   """
+  def host_f32(f):
+    f = np.asarray(f)
+    return f.astype(np.float32) / 255.0 if f.dtype == np.uint8 else f
+
   if len(frames) < 2 or times_to_interpolate <= 0:
     from ..io import images
-    return [images.to_uint8(f) for f in frames] if as_uint8 else list(frames)
+    return ([images.to_uint8(f) for f in frames] if as_uint8
+            else [host_f32(f) for f in frames])
   import jax
   import jax.numpy as jnp
 
@@ -334,7 +363,13 @@ def interpolate_frontier(
     # time-order interleave — is one jitted device program: one dispatch,
     # one batched fetch. Per-midpoint device calls pay a dispatch
     # round-trip each, which dominates on remote-tunneled TPU hosts.
-    stacked_in = np.stack([np.asarray(f, np.float32) for f in frames])
+    # uint8 inputs stay uint8 through the H2D transfer (expand_tree_device
+    # converts in-jit, bit-identically to io.images.read_image).
+    arrays = [np.asarray(f) for f in frames]
+    if all(a.dtype == np.uint8 for a in arrays):
+      stacked_in = np.stack(arrays)
+    else:
+      stacked_in = np.stack([host_f32(a) for a in arrays])
     out = interpolator.expand_tree_device(stacked_in, times_to_interpolate,
                                           max_batch=max_batch,
                                           as_uint8=as_uint8)
@@ -343,7 +378,7 @@ def interpolate_frontier(
       progress(stacked.shape[0] - len(frames))
     return [stacked[i] for i in range(stacked.shape[0])]
 
-  sequence = [jnp.asarray(np.asarray(f, np.float32)) for f in frames]
+  sequence = [jnp.asarray(host_f32(f)) for f in frames]
   for _ in range(times_to_interpolate):
     pairs0 = sequence[:-1]
     pairs1 = sequence[1:]

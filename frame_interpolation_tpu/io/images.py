@@ -33,6 +33,18 @@ def read_image(filename: str) -> np.ndarray:
   return arr / _UINT8_MAX_F
 
 
+def read_image_uint8(filename: str) -> np.ndarray:
+  """Reads an sRGB 8-bit image as raw (H, W, 3) uint8.
+
+  `uint8 / 255` on device reproduces read_image bit-for-bit, so device
+  consumers (Interpolator.expand_tree_device) can take this form directly
+  and quarter the host->device transfer — material on tunneled TPU hosts
+  where transfers bound video throughput.
+  """
+  with Image.open(filename) as img:
+    return np.asarray(img.convert('RGB'), dtype=np.uint8)
+
+
 def to_uint8(image: np.ndarray) -> np.ndarray:
   """Float [0,1] -> uint8 with the reference's round-half-up rule.
 

@@ -103,6 +103,50 @@ class TestRecursion:
     for a, b in zip(want, got):
       np.testing.assert_allclose(a, b, atol=2e-6)
 
+  def test_uint8_inputs_match_f32_path(self, interp):
+    """Raw uint8 frames (quarter H2D) must reproduce the f32 path
+    BIT-IDENTICALLY: the u8->f32 /255 conversion runs in its own jit
+    (matching io.images.read_image's host conversion exactly), so the
+    tree program is the identical f32 executable. The round-3 verify
+    drive caught the fused-convert variant flipping one
+    quantization-boundary pixel on the reference photos."""
+    rng = np.random.RandomState(11)
+    u8 = [rng.randint(0, 256, (16, 24, 3), np.uint8) for _ in range(3)]
+    f32 = [f.astype(np.float32) / 255.0 for f in u8]
+    want = interpolate_frontier(f32, 2, interp, max_batch=3, as_uint8=True)
+    got = interpolate_frontier(u8, 2, interp, max_batch=3, as_uint8=True)
+    assert len(got) == len(want)
+    for i, (a, b) in enumerate(zip(want, got)):
+      np.testing.assert_array_equal(a, b, err_msg=f'frame {i}')
+    # Without as_uint8 the output contract stays f32 either way.
+    got_f32 = interpolate_frontier(u8, 1, interp, max_batch=3)
+    want_f32 = interpolate_frontier(f32, 1, interp, max_batch=3)
+    for a, b in zip(want_f32, got_f32):
+      assert b.dtype == np.float32
+      np.testing.assert_array_equal(a, b)
+
+  def test_device_u8_conversion_exact_all_bytes(self):
+    """The device u8->f32 conversion must equal read_image's host division
+    for ALL 256 byte values (XLA's reciprocal-multiply rewrite of /255
+    breaks 126 of them; the split-constant form restores exactness)."""
+    from frame_interpolation_tpu.inference.interpolator import (
+        _u8_to_unit_f32)
+    u8 = np.arange(256, dtype=np.uint8)
+    want = np.arange(256, dtype=np.float32) / np.float32(255.0)
+    got = np.asarray(_u8_to_unit_f32(u8))
+    np.testing.assert_array_equal(got, want)
+
+  @pytest.mark.parametrize('pipeline_depth', [1, 2, 3])
+  def test_streaming_pipeline_depth_invariant(self, interp, pipeline_depth):
+    frames = _frames(5, seed=13)
+    want = interpolate_frontier(frames, 1, interp, max_batch=3)
+    got = list(interpolate_frontier_streaming(
+        frames, 1, interp, max_batch=3, pairs_per_chunk=1,
+        pipeline_depth=pipeline_depth))
+    assert len(got) == len(want)
+    for i, (a, b) in enumerate(zip(want, got)):
+      np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f'frame {i}')
+
   def test_streaming_frontier_degenerate_inputs(self, interp):
     frames = _frames(2, seed=9)
     # T = 0: passthrough.
@@ -117,10 +161,10 @@ class TestRecursion:
 
   def test_pairs_per_chunk_bounds_memory(self):
     frame_nbytes = 1920 * 1080 * 3 * 4  # ~24.9 MB float32 1080p
-    # At T=5 each pair expands to 32 device frames; a 4 GiB budget fits
-    # five pairs' trees plus the boundary frame.
+    # At T=5 each pair expands to 32 device frames, budgeted with the x3
+    # transient-expansion factor (seq + mids + merged stack in f32).
     chunk = frontier_pairs_per_chunk(frame_nbytes, 5, 4 << 30)
-    assert chunk == ((4 << 30) - frame_nbytes) // (frame_nbytes * 32)
+    assert chunk == ((4 << 30) - frame_nbytes) // (frame_nbytes * 32 * 3)
     assert 1 <= chunk <= 6
     # Budget smaller than one tree still makes progress.
     assert frontier_pairs_per_chunk(frame_nbytes, 5, 1 << 20) == 1
