@@ -209,7 +209,14 @@ def backward_warp_splat(g_out: jnp.ndarray, flow: jnp.ndarray,
 
   cb = _channel_block(c)
   cp = _round_up(c, cb)
-  gout = jnp.transpose(g_out.astype(jnp.float32), (0, 3, 1, 2))
+  # The cotangent stays in its native dtype (bf16 under the serving
+  # policy) through the planar transpose and the per-tile block reads —
+  # the kernel casts each block to f32 on load, so the f32 accumulation
+  # is unchanged while the transpose+read HBM traffic halves (this chip
+  # streams at ~139 GB/s; PERF.md round 3).
+  gout_dtype = (g_out.dtype if jnp.issubdtype(g_out.dtype, jnp.floating)
+                else jnp.float32)
+  gout = jnp.transpose(g_out.astype(gout_dtype), (0, 3, 1, 2))
   gout = jnp.pad(gout, ((0, 0), (0, cp - c), (0, hp - h), (0, wp - w)))
 
   # The accumulator mirrors the forward's padded plane geometry: 8 guard

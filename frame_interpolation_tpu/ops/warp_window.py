@@ -60,7 +60,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
-                        planes, out_ref, win, acc_ref, sem,
+                        planes, out_ref, win, winf_ref, acc_ref, sem,
                         *, cb: int, cp: int, n_sp: int, n_tx: int):
   """One (cb, 8, 128) output tile against a windowed source.
 
@@ -77,9 +77,18 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       kernel per warp site, multiplying XLA program size and compile
       time).
     out_ref: (1, cb, 8, 128) VMEM output block.
-    win: (3, cb, 24, 128) VMEM window scratch — slots 0/1 rotate per tile
-      for cross-tile streaming; slot 2 alternates with the tile slot for
-      intra-tile multi-window pipelining.
+    win: (3, cb, 24, 128) VMEM window scratch in the PLANES dtype — slots
+      0/1 rotate per tile for cross-tile streaming; slot 2 alternates with
+      the tile slot for intra-tile multi-window pipelining. Keeping the
+      planes/windows in the image dtype (bf16 under the serving policy)
+      halves the dominant HBM traffic of this kernel (PERF.md round 3:
+      the chip streams at ~139 GB/s, and windows overfetch ~6x the
+      output bytes).
+    winf_ref: (cb, 24, 128) f32 scratch — the current window expanded
+      once after its DMA lands. Mosaic rejects DYNAMIC sublane-start
+      loads on sublane-packed bf16 VMEM (probe_mosaic), so the per-shift
+      unaligned 8-row loads read this f32 copy; bf16->f32 is exact, so
+      outputs are bit-identical to the all-f32 kernel.
     acc_ref: (cb, 8, 128) f32 VMEM accumulator (measured faster than a
       loop-carried register accumulator at this block size).
     sem: (3,) DMA semaphores, one per window slot.
@@ -150,6 +159,8 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
     # between slot 2 and the tile slot (free once window 0 is consumed).
     return jnp.where(jax.lax.rem(k, 2) == 0, slot, 2)
 
+  needs_expand = win.dtype != jnp.float32
+
   def window_body(k, _):
     wy0, wx0 = win_origin(k)
     my_slot = win_slot(k)
@@ -160,6 +171,12 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
     def _():
       ny0, nx0 = win_origin(k + 1)
       window_dma(c0, ny0, nx0, win_slot(k + 1)).start()
+
+    if needs_expand:
+      # One f32 expansion per window: the per-shift unaligned 8-row loads
+      # below are illegal on packed bf16 VMEM; exact, so outputs match
+      # the all-f32 kernel bit for bit.
+      winf_ref[...] = win[my_slot].astype(jnp.float32)
 
     d_lo = jnp.maximum(d_min, wy0 - ty8)
     d_hi = jnp.minimum(d_end, wy0 - ty8 + 16)
@@ -195,7 +212,10 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       @pl.when(jnp.any((w0 > 0.0) | (w1 > 0.0)))
       def _():
         row = ty8 + d - wy0
-        src = win[my_slot, :, pl.ds(row, _TH), :].astype(jnp.float32)
+        if needs_expand:
+          src = winf_ref[:, pl.ds(row, _TH), :]
+        else:
+          src = win[my_slot, :, pl.ds(row, _TH), :]
         src = src.reshape(cb * _TH, _TW)
         g0 = jnp.take_along_axis(src, lx0b, axis=1).reshape(cb, _TH, _TW)
         g1 = jnp.take_along_axis(src, lx1b, axis=1).reshape(cb, _TH, _TW)
@@ -268,11 +288,15 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
 
   cb = _channel_block(c)
   cp = _round_up(c, cb)
-  # Planar f32 source, padded so every window DMA stays in bounds: 8 guard
-  # rows on top (negative-displacement blocks can start at row -8) and
+  # Planar source in the IMAGE dtype (bf16 halves the dominant window/
+  # transpose HBM traffic on this ~139 GB/s chip; f32 images behave as
+  # before), padded so every window DMA stays in bounds: 8 guard rows on
+  # top (negative-displacement blocks can start at row -8) and
   # round8(h) + 32 below (window top can reach align8(h-1) + 23); 128-col
-  # windows never cross round128(w).
-  planes = jnp.transpose(image.astype(jnp.float32), (0, 3, 1, 2))
+  # windows never cross round128(w). Non-float images warp in f32.
+  plane_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
+                 else jnp.float32)
+  planes = jnp.transpose(image.astype(plane_dtype), (0, 3, 1, 2))
   planes = jnp.pad(planes, ((0, 0), (0, cp - c), (8, hp + 32 - h),
                             (0, wp - w)))
   planes = planes.reshape(bsz * cp, hp + 40, wp)
@@ -290,7 +314,8 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
       out_specs=pl.BlockSpec((1, cb, _TH, _TW),
                              lambda b, ci, ty, tx, *refs: (b, ci, ty, tx)),
       scratch_shapes=[
-          pltpu.VMEM((3, cb, _WIN_H, _WIN_W), jnp.float32),
+          pltpu.VMEM((3, cb, _WIN_H, _WIN_W), plane_dtype),
+          pltpu.VMEM((cb, _WIN_H, _WIN_W), jnp.float32),
           pltpu.VMEM((cb, _TH, _TW), jnp.float32),
           pltpu.SemaphoreType.DMA((3,)),
       ])
