@@ -72,6 +72,7 @@ def main():
   print('processes:', names)
   total = {}
   raw = {}
+  args_of = {}
   for ev in trace.get('traceEvents', []):
     if ev.get('ph') != 'X' or 'dur' not in ev:
       continue
@@ -79,11 +80,22 @@ def main():
       continue
     name = ev.get('name', '?')
     raw[name] = raw.get(name, 0) + ev['dur']
+    if name not in args_of and ev.get('args'):
+      args_of[name] = ev['args']
     cat = re.sub(r'[.\d]+$', '', name)
     total[cat] = total.get(cat, 0) + ev['dur']
   print('--- by op category (2 frames) ---')
   for name, dur in sorted(total.items(), key=lambda kv: -kv[1])[:30]:
     print(f'{dur/2000.0:9.2f} ms/frame  {name[:90]}')
+  if os.environ.get('PROF_RAW'):
+    print('--- top raw ops ---')
+    for name, dur in sorted(raw.items(), key=lambda kv: -kv[1])[:40]:
+      extra = ''
+      a = args_of.get(name, {})
+      for key in ('long_name', 'shape', 'layout', 'tf_op'):
+        if key in a:
+          extra += f' | {key}={str(a[key])[:140]}'
+      print(f'{dur/2000.0:9.2f} ms/frame  {name[:60]}{extra}')
 
 
 if __name__ == '__main__':

@@ -145,8 +145,21 @@ def _backward_warp_bwd(residuals, g):
   g_flow, = flow_vjp(g)
 
   def splat_image_grad(g, flow):
-    from .warp_splat import backward_warp_splat
-    return backward_warp_splat(g, flow).astype(image.dtype)
+    from . import warp_splat
+    h, w = g.shape[1], g.shape[2]
+    if h * w <= warp_splat._MATMUL_SPLAT_MAX_PIXELS:
+      # Coarse pyramid levels: dense one-hot matmul splat on the MXU
+      # (the window kernel's tile geometry overfetches ~10-30x there).
+      return warp_splat.backward_warp_splat_small(g, flow).astype(
+          image.dtype)
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    if warp_splat._resident_cb(g.shape[3], hp + 40, wp) is not None:
+      # Train-crop planes: accumulate in a VMEM-resident block (one HBM
+      # write per plane, no RMW window chain).
+      return warp_splat.backward_warp_splat_resident(g, flow).astype(
+          image.dtype)
+    return warp_splat.backward_warp_splat(g, flow).astype(image.dtype)
 
   def scatter_image_grad(g, flow):
     _, image_vjp = jax.vjp(lambda i: _backward_warp_raw(i, flow), image)

@@ -174,6 +174,215 @@ def _splat_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref, gout_ref,
     wait_writeback(wy0, wx0)
 
 
+# Largest H*W routed to the dense matmul splat below. At N=1024 the
+# one-hot weight matrix is (B, 1024, 1024) f32 (33 MB at B=8) and the
+# contraction is MXU-sized; at N=4096 the matrix alone is 537 MB and the
+# window kernel wins again (measured: experiments/probe_splat_levels.py).
+_MATMUL_SPLAT_MAX_PIXELS = 1024
+
+# VMEM budget for one resident accumulator plane block (kernel below).
+_RESIDENT_VMEM_BYTES = 10 * 1024 * 1024
+
+
+def _resident_cb(c: int, hp40: int, wp: int):
+  """Channel block so one (cb, hp40, 128) f32 plane fits the VMEM budget.
+
+  The resident block is always 128 lanes wide (one column tile — a grid
+  dimension; see the kernel). Returns None when even an 8-channel block
+  would not fit, or when the plane has so many column tiles that the
+  per-jx shift-loop replays would dominate (large planes fall back to
+  the RMW window kernel).
+  """
+  if wp // _TW > 4:
+    return None
+  per_ch = hp40 * _TW * 4
+  max_cb = _RESIDENT_VMEM_BYTES // max(per_ch, 1)
+  if max_cb < 8:
+    return None
+  cb = min(_MAX_CHANNEL_BLOCK, max_cb, c)
+  n_blocks = -(-c // cb)
+  return -(-c // n_blocks)
+
+
+def _splat_resident_kernel(iy_ref, ix_ref, ay_ref, ax_ref, gout_ref,
+                           out_ref, *, cb: int, n_ty: int, n_tx: int):
+  """Splat one output tile's cotangent into a VMEM-resident plane block.
+
+  The output BlockSpec maps every (ty, tx) of a (b, ci, jx) plane column
+  to the SAME (1, cb, hp+40, 128) block, so Pallas keeps the accumulator
+  resident in VMEM across all spatial tiles and writes it back to HBM
+  exactly once — no read-modify-write window DMAs, no serializing
+  semaphore chain, no zeros input (the block is zeroed in-kernel at the
+  first tile). The target COLUMN tile jx is a grid dimension (not an
+  in-kernel loop over a wider block) because Mosaic only allows dynamic
+  sublane-start stores that span the block's full minor dimension, so
+  the resident block must be exactly 128 lanes wide; the shift loops
+  rerun per jx, but each (d, e) pair lands in at most two column tiles
+  and the rest are skipped by the weight masks. Only legal when the
+  plane block fits VMEM (train-crop shapes; see _resident_cb).
+  """
+  jx = pl.program_id(2)
+  ty = pl.program_id(3)
+  tx = pl.program_id(4)
+
+  @pl.when((ty == 0) & (tx == 0))
+  def _():
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+  iy = iy_ref[0]
+  ix = ix_ref[0]
+  ay = ay_ref[0]
+  ax = ax_ref[0]
+  gout = gout_ref[0].astype(jnp.float32)
+
+  ty8 = ty * _TH
+  rows = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0)
+  lanes = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1)
+  dy = iy - (ty8 + rows)
+  d_min = jnp.min(dy)
+  d_end = jnp.max(dy) + 2          # row taps iy, iy+1 -> shifts [d, d+1]
+  # Column shifts that can land in THIS jx tile: target lane
+  # lane + tx*128 + e - jx*128 must fall in [0, 128).
+  dxl = ix - (tx * _TW + lanes)
+  lo = (jx - tx) * _TW - (_TW - 1)
+  e_min = jnp.maximum(jnp.min(dxl), lo)
+  e_end = jnp.minimum(jnp.max(dxl) + 2, lo + 2 * _TW)
+  wy_tap0 = 1.0 - ay
+  wx_tap0 = 1.0 - ax
+  off_base = (tx - jx) * _TW
+
+  def d_body(d, _):
+    wy = (jnp.where(dy == d, wy_tap0, 0.0) +
+          jnp.where(dy == d - 1, ay, 0.0))
+    r0 = ty8 + d + 8               # plane row of this shift's 8-row block
+
+    @pl.when(jnp.any(wy > 0.0))
+    def _():
+
+      def e_body(e, _):
+        wx = (jnp.where(dxl == e, wx_tap0, 0.0) +
+              jnp.where(dxl == e - 1, ax, 0.0))
+        off = off_base + e           # target lane within this jx tile
+        in_tile = (lanes + off >= 0) & (lanes + off < _TW)
+        weight = jnp.where(in_tile, wy * wx, 0.0)
+
+        @pl.when(jnp.any(weight > 0.0))
+        def _():
+          val = (weight[None] * gout).reshape(cb * _TH, _TW)
+          # Right roll by `off` lands val[l] at lane l + off; the
+          # out-of-tile lanes were zeroed, so the wrap adds nothing.
+          shift = jax.lax.rem(jax.lax.rem(off, _TW) + _TW, _TW)
+          rolled = pltpu.roll(val, shift=shift, axis=1).reshape(
+              cb, _TH, _TW)
+          out_ref[0, :, pl.ds(r0, _TH), :] += rolled
+
+        return 0
+
+      jax.lax.fori_loop(e_min, e_end, e_body, 0)
+
+    return 0
+
+  @pl.when(e_end > e_min)
+  def _():
+    jax.lax.fori_loop(d_min, d_end, d_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def backward_warp_splat_resident(g_out: jnp.ndarray, flow: jnp.ndarray,
+                                 interpret: bool = False) -> jnp.ndarray:
+  """Image-cotangent of backward_warp with a VMEM-resident accumulator.
+
+  Same math as backward_warp_splat, for shapes whose padded plane block
+  fits VMEM (train crops). Traffic drops from ~6x-overfetched f32 RMW
+  windows plus a materialized zeros buffer to: one planar read of the
+  cotangent and one write of the accumulator planes.
+  """
+  bsz, h, w, c = g_out.shape
+  iy, ix, ay, ax = _query_coords(h, w, flow)
+
+  hp = _round_up(h, _TH)
+  wp = _round_up(w, _TW)
+  n_ty = hp // _TH
+  n_tx = wp // _TW
+  cb = _resident_cb(c, hp + 40, wp)
+  assert cb is not None, (g_out.shape, 'plane too large for resident splat')
+  cp = _round_up(c, cb)
+
+  pads = ((0, 0), (0, hp - h), (0, wp - w))
+  iy = jnp.pad(iy, pads, mode='edge')
+  ix = jnp.pad(ix, pads, mode='edge')
+  ay = jnp.pad(ay, pads, mode='edge')
+  ax = jnp.pad(ax, pads, mode='edge')
+
+  gout_dtype = (g_out.dtype if jnp.issubdtype(g_out.dtype, jnp.floating)
+                else jnp.float32)
+  gout = jnp.transpose(g_out.astype(gout_dtype), (0, 3, 1, 2))
+  gout = jnp.pad(gout, ((0, 0), (0, cp - c), (0, hp - h), (0, wp - w)))
+
+  kernel = functools.partial(_splat_resident_kernel, cb=cb, n_ty=n_ty,
+                             n_tx=n_tx)
+  idx_spec = pl.BlockSpec((1, _TH, _TW),
+                          lambda b, ci, jx, ty, tx: (b, ty, tx))
+  planes = pl.pallas_call(
+      kernel,
+      grid=(bsz, cp // cb, n_tx, n_ty, n_tx),
+      in_specs=[idx_spec, idx_spec, idx_spec, idx_spec,
+                pl.BlockSpec((1, cb, _TH, _TW),
+                             lambda b, ci, jx, ty, tx: (b, ci, ty, tx))],
+      out_specs=pl.BlockSpec((1, cb, hp + 40, _TW),
+                             lambda b, ci, jx, ty, tx: (b, ci, 0, jx)),
+      out_shape=jax.ShapeDtypeStruct((bsz, cp, hp + 40, wp), jnp.float32),
+      # Mosaic double-buffers the accumulator block (its index map changes
+      # with jx), so the kernel needs 2x the block beyond the default 16 MB
+      # scoped-vmem limit. 42 MB stays under the 48 MB global sweet spot
+      # measured in PERF.md.
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=42 * 1024 * 1024),
+      interpret=interpret,
+  )(iy, ix, ay, ax, gout)
+  return jnp.transpose(planes[:, :c, 8:8 + h, :w], (0, 2, 3, 1))
+
+
+def backward_warp_splat_small(g_out: jnp.ndarray,
+                              flow: jnp.ndarray) -> jnp.ndarray:
+  """Image-cotangent of backward_warp as ONE dense matmul (small planes).
+
+  The splat is linear in the cotangent: out[s] = sum_o W[o, s] * g[o]
+  with W the bilinear tap weights. For small spatial dims (coarse pyramid
+  levels — 32x32 and below at train crops) the dense (N_out, N_src)
+  weight matrix is tiny, so building it as a fused one-hot sum and
+  contracting on the MXU beats both XLA's serialized scatter (~100x) and
+  the window-splat kernel, whose (8, 128)-tile planar geometry overfetches
+  ~10-30x at these shapes (128-lane padding + 40 guard rows on an f32
+  read-modify-write accumulator; see PERF.md round 3).
+
+  Exact: weights are f32 and the contraction accumulates in f32, matching
+  jax.vjp of the XLA gather formulation to ~1 ulp (summation order).
+  """
+  b, h, w, c = g_out.shape
+  n = h * w
+  iy, ix, ay, ax = _query_coords(h, w, flow)
+  # Top-left corner; the clamps (iy <= h-2, ix <= w-2) guarantee all four
+  # taps idx, idx+1, idx+w, idx+w+1 are in range.
+  idx = (iy * w + ix).reshape(b, n)
+  ay = ay.reshape(b, n)
+  ax = ax.reshape(b, n)
+  src = jnp.arange(n, dtype=jnp.int32)
+
+  def tap(i, wt):
+    return jnp.where(i[:, :, None] == src[None, None, :],
+                     wt[:, :, None], 0.0)
+
+  weights = (tap(idx, (1.0 - ay) * (1.0 - ax)) +
+             tap(idx + 1, (1.0 - ay) * ax) +
+             tap(idx + w, ay * (1.0 - ax)) +
+             tap(idx + w + 1, ay * ax))          # (B, N_out, N_src) f32
+  g = g_out.reshape(b, n, c).astype(jnp.float32)
+  out = jnp.einsum('bos,boc->bsc', weights, g,
+                   preferred_element_type=jnp.float32)
+  return out.reshape(b, h, w, c)
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def backward_warp_splat(g_out: jnp.ndarray, flow: jnp.ndarray,
                         interpret: bool = False) -> jnp.ndarray:
