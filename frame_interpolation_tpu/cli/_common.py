@@ -2,6 +2,24 @@
 from __future__ import annotations
 
 
+def define_flag(define_fn, name, *args, **kwargs):
+  """absl DEFINE_* that tolerates a prior definition of the same name.
+
+  The CLIs are standalone programs (each reference entry point is its own
+  process — e.g. /root/reference/eval/interpolator_cli.py vs eval_cli.py),
+  but tests and notebooks import several of them into ONE interpreter,
+  where absl's process-global flag registry raises DuplicateFlagError for
+  shared names like --model_path/--tfrecord. First definition wins; later
+  CLI modules get a holder for the existing flag (same semantics as two
+  processes each defining it).
+  """
+  from absl import flags
+  try:
+    return define_fn(name, *args, **kwargs)
+  except flags.DuplicateFlagError:
+    return flags.FlagHolder(flags.FLAGS, flags.FLAGS[name])
+
+
 def apply_platform_flag(value) -> None:
   """Forces a JAX platform ('cpu', ...) before any device use."""
   if value:

@@ -19,19 +19,22 @@ import os
 
 from absl import app, flags, logging
 
-_BASE_FOLDER = flags.DEFINE_string('base_folder', None,
+from ._common import define_flag
+
+_BASE_FOLDER = define_flag(flags.DEFINE_string, 'base_folder', None,
                                    'Root folder of training runs.')
-_LABEL = flags.DEFINE_string('label', None, 'Run label under base_folder.')
-_TF_MODEL = flags.DEFINE_string(
+_LABEL = define_flag(flags.DEFINE_string,
+    'label', None, 'Run label under base_folder.')
+_TF_MODEL = define_flag(flags.DEFINE_string,
     'tf_model', None, 'A TF2 SavedModel / checkpoint to convert instead.')
-_OUTPUT = flags.DEFINE_string('output', None,
+_OUTPUT = define_flag(flags.DEFINE_string, 'output', None,
                               'Output bundle dir (default: '
                               '<base>/<label>/saved_model).')
-_EXPERIMENT = flags.DEFINE_enum(
+_EXPERIMENT = define_flag(flags.DEFINE_enum,
     'experiment', 'film_net-L1',
     ['film_net-L1', 'film_net-VGG', 'film_net-Style'],
     'Experiment preset that defines the model hyperparameters.')
-_PLATFORM = flags.DEFINE_string(
+_PLATFORM = define_flag(flags.DEFINE_string,
     'platform', None,
     "Force a JAX platform (e.g. 'cpu'); default uses the best available.")
 

@@ -11,20 +11,24 @@ import os
 
 from absl import app, flags, logging
 
-_INPUT_DIR = flags.DEFINE_string('input_dir', None,
+from ._common import define_flag
+
+_INPUT_DIR = define_flag(flags.DEFINE_string, 'input_dir', None,
                                  'Root of the Middlebury-Other data.',
                                  required=True)
-_INPUT_PAIRS_FOLDERNAME = flags.DEFINE_string(
+_INPUT_PAIRS_FOLDERNAME = define_flag(flags.DEFINE_string,
     'input_pairs_foldername', 'other-data',
     'Folder with the input frame pairs.')
-_GOLDEN_FOLDERNAME = flags.DEFINE_string(
+_GOLDEN_FOLDERNAME = define_flag(flags.DEFINE_string,
     'golden_foldername', 'other-gt-interp',
     'Folder with the golden middle frames.')
-_OUTPUT_TFRECORD_FILEPATH = flags.DEFINE_string(
+_OUTPUT_TFRECORD_FILEPATH = define_flag(flags.DEFINE_string,
     'output_tfrecord_filepath', None, 'Output TFRecord filepath.',
     required=True)
-_NUM_SHARDS = flags.DEFINE_integer('num_shards', 3, 'Output shards.')
-_NUM_WORKERS = flags.DEFINE_integer('num_workers', 8, 'Builder threads.')
+_NUM_SHARDS = define_flag(flags.DEFINE_integer,
+    'num_shards', 3, 'Output shards.')
+_NUM_WORKERS = define_flag(flags.DEFINE_integer,
+    'num_workers', 8, 'Builder threads.')
 
 _IMAGES_MAP = {'frame_0': 'frame10.png', 'frame_1': 'frame10i11.png',
                'frame_2': 'frame11.png'}

@@ -11,14 +11,18 @@ import os
 
 from absl import app, flags, logging
 
-_INPUT_DIR = flags.DEFINE_string('input_dir', None,
+from ._common import define_flag
+
+_INPUT_DIR = define_flag(flags.DEFINE_string, 'input_dir', None,
                                  'Root of the UCF101 triplets.',
                                  required=True)
-_OUTPUT_TFRECORD_FILEPATH = flags.DEFINE_string(
+_OUTPUT_TFRECORD_FILEPATH = define_flag(flags.DEFINE_string,
     'output_tfrecord_filepath', None, 'Output TFRecord filepath.',
     required=True)
-_NUM_SHARDS = flags.DEFINE_integer('num_shards', 2, 'Output shards.')
-_NUM_WORKERS = flags.DEFINE_integer('num_workers', 8, 'Builder threads.')
+_NUM_SHARDS = define_flag(flags.DEFINE_integer,
+    'num_shards', 2, 'Output shards.')
+_NUM_WORKERS = define_flag(flags.DEFINE_integer,
+    'num_workers', 8, 'Builder threads.')
 
 _IMAGES_MAP = {'frame_0': 'frame_00.png', 'frame_1': 'frame_01_gt.png',
                'frame_2': 'frame_02.png'}

@@ -18,18 +18,21 @@ import os
 
 from absl import app, flags, logging
 
-_INPUT_DIR = flags.DEFINE_string(
+from ._common import define_flag
+
+_INPUT_DIR = define_flag(flags.DEFINE_string,
     'input_dir', None, 'Root of the vimeo dataset sequences/ directory.',
     required=True)
-_INPUT_TRIPLET_LIST_FILEPATH = flags.DEFINE_string(
+_INPUT_TRIPLET_LIST_FILEPATH = define_flag(flags.DEFINE_string,
     'input_triplet_list_filepath', None,
     'tri_{train|test}list.txt of triplet subdirectories.', required=True)
-_OUTPUT_TFRECORD_FILEPATH = flags.DEFINE_string(
+_OUTPUT_TFRECORD_FILEPATH = define_flag(flags.DEFINE_string,
     'output_tfrecord_filepath', None, 'Output TFRecord filepath.',
     required=True)
-_NUM_SHARDS = flags.DEFINE_integer(
+_NUM_SHARDS = define_flag(flags.DEFINE_integer,
     'num_shards', 200, 'Output shards (3 for vimeo_test, 200 for train).')
-_NUM_WORKERS = flags.DEFINE_integer('num_workers', 8, 'Builder threads.')
+_NUM_WORKERS = define_flag(flags.DEFINE_integer,
+    'num_workers', 8, 'Builder threads.')
 
 _IMAGES_MAP = {'frame_0': 'im1.png', 'frame_1': 'im2.png',
                'frame_2': 'im3.png'}

@@ -12,22 +12,27 @@ import os
 
 from absl import app, flags, logging
 
-_INPUT_DIR = flags.DEFINE_string('input_dir', None,
+from ._common import define_flag
+
+_INPUT_DIR = define_flag(flags.DEFINE_string, 'input_dir', None,
                                  'Directory with the 800 Xiph frames.',
                                  required=True)
-_CENTER_CROP_FACTOR = flags.DEFINE_integer(
+_CENTER_CROP_FACTOR = define_flag(flags.DEFINE_integer,
     'center_crop_factor', 1,
     'Center-crop factor; 2 keeps the center half (Xiph-4K).')
-_SCALE_FACTOR = flags.DEFINE_integer('scale_factor', 2,
+_SCALE_FACTOR = define_flag(flags.DEFINE_integer, 'scale_factor', 2,
                                      'Downsample factor (2 for Xiph-2K).')
-_NUM_CLIPS = flags.DEFINE_integer('num_clips', 8, 'Number of clips.')
-_NUM_FRAMES = flags.DEFINE_integer('num_frames', 100,
+_NUM_CLIPS = define_flag(flags.DEFINE_integer,
+    'num_clips', 8, 'Number of clips.')
+_NUM_FRAMES = define_flag(flags.DEFINE_integer, 'num_frames', 100,
                                    'Frames per clip.')
-_OUTPUT_TFRECORD_FILEPATH = flags.DEFINE_string(
+_OUTPUT_TFRECORD_FILEPATH = define_flag(flags.DEFINE_string,
     'output_tfrecord_filepath', None, 'Output TFRecord filepath.',
     required=True)
-_NUM_SHARDS = flags.DEFINE_integer('num_shards', 2, 'Output shards.')
-_NUM_WORKERS = flags.DEFINE_integer('num_workers', 8, 'Builder threads.')
+_NUM_SHARDS = define_flag(flags.DEFINE_integer,
+    'num_shards', 2, 'Output shards.')
+_NUM_WORKERS = define_flag(flags.DEFINE_integer,
+    'num_workers', 8, 'Builder threads.')
 
 _OFFSETS = {'frame_0': -1, 'frame_1': 0, 'frame_2': 1}
 

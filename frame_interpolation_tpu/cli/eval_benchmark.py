@@ -18,29 +18,32 @@ from typing import Dict, List
 import numpy as np
 from absl import app, flags, logging
 
-from ._common import apply_platform_flag, load_interpolator_from_flag
+from ._common import (apply_platform_flag, define_flag,
+                      load_interpolator_from_flag)
 
-_PARAMS = flags.DEFINE_string(
+_PARAMS = define_flag(flags.DEFINE_string,
     'params', None, "Parameter bundle / TF SavedModel path, or 'random'.",
     required=True)
-_TFRECORD = flags.DEFINE_string('tfrecord', None,
+_TFRECORD = define_flag(flags.DEFINE_string, 'tfrecord', None,
                                 "Eval TFRecord spec ('file' or 'file@N').")
-_GIN_CONFIG = flags.DEFINE_string(
+_GIN_CONFIG = define_flag(flags.DEFINE_string,
     'gin_config', None,
     'Path to a reference-style eval gin file (supplies tfrecord, metrics, '
     'max_examples — compatibility with the reference eval_cli).')
-_OUTPUT_DIR = flags.DEFINE_string('output_dir', None,
+_OUTPUT_DIR = define_flag(flags.DEFINE_string, 'output_dir', None,
                                   'Directory for results.csv and frames.',
                                   required=True)
-_MAX_EXAMPLES = flags.DEFINE_integer('max_examples', -1,
+_MAX_EXAMPLES = define_flag(flags.DEFINE_integer, 'max_examples', -1,
                                      'Limit of examples; -1 = all.')
-_METRICS = flags.DEFINE_list('metrics', ['l1', 'l2', 'ssim', 'psnr'],
+_METRICS = define_flag(flags.DEFINE_list,
+    'metrics', ['l1', 'l2', 'ssim', 'psnr'],
                              'Metric names (losses registry).')
-_OUTPUT_FRAMES = flags.DEFINE_boolean(
+_OUTPUT_FRAMES = define_flag(flags.DEFINE_boolean,
     'output_frames', False,
     'Dump every image-shaped tensor of each example as PNG.')
-_BATCH_SIZE = flags.DEFINE_integer('batch_size', 1, 'Eval batch size.')
-_PLATFORM = flags.DEFINE_string(
+_BATCH_SIZE = define_flag(flags.DEFINE_integer,
+    'batch_size', 1, 'Eval batch size.')
+_PLATFORM = define_flag(flags.DEFINE_string,
     'platform', None,
     "Force a JAX platform (e.g. 'cpu'); default uses the best available.")
 

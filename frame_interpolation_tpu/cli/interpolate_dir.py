@@ -23,57 +23,58 @@ from typing import List
 
 from absl import app, flags, logging
 
-from ._common import apply_platform_flag, load_interpolator_from_flag
+from ._common import (apply_platform_flag, define_flag,
+                      load_interpolator_from_flag)
 
-_PATTERN = flags.DEFINE_string(
+_PATTERN = define_flag(flags.DEFINE_string,
     'pattern', None, 'Glob pattern of directories with input frames.',
     required=True)
-_PARAMS = flags.DEFINE_string(
+_PARAMS = define_flag(flags.DEFINE_string,
     'params', None, "Parameter bundle / TF SavedModel path, or 'random'.",
     required=True)
-_TIMES_TO_INTERPOLATE = flags.DEFINE_integer(
+_TIMES_TO_INTERPOLATE = define_flag(flags.DEFINE_integer,
     'times_to_interpolate', 5,
     'The number of times to run recursive midpoint interpolation: '
     'output has 2^times_to_interpolate+1 frames per input pair.')
-_FPS = flags.DEFINE_integer('fps', 30,
+_FPS = define_flag(flags.DEFINE_integer, 'fps', 30,
                             'Frames per second to play interpolated videos.')
-_ALIGN = flags.DEFINE_integer('align', 64,
+_ALIGN = define_flag(flags.DEFINE_integer, 'align', 64,
                               'If >1, pad the input size so it divides with '
                               'this before inference.')
-_BLOCK_HEIGHT = flags.DEFINE_integer('block_height', 1,
+_BLOCK_HEIGHT = define_flag(flags.DEFINE_integer, 'block_height', 1,
                                      'Patches along height; 1 = no tiling.')
-_BLOCK_WIDTH = flags.DEFINE_integer('block_width', 1,
+_BLOCK_WIDTH = define_flag(flags.DEFINE_integer, 'block_width', 1,
                                     'Patches along width; 1 = no tiling.')
-_OUTPUT_VIDEO = flags.DEFINE_boolean('output_video', False,
+_OUTPUT_VIDEO = define_flag(flags.DEFINE_boolean, 'output_video', False,
                                      'If true, also write interpolated.mp4.')
-_STREAMING = flags.DEFINE_boolean(
+_STREAMING = define_flag(flags.DEFINE_boolean,
     'streaming', False, 'Use the in-order streaming generator (reference '
     'evaluation order) instead of batched frontier recursion.')
-_CACHE_FEATURES = flags.DEFINE_boolean(
+_CACHE_FEATURES = define_flag(flags.DEFINE_boolean,
     'cache_features', True,
     'In --streaming mode, compute each frame\'s feature pyramid once and '
     'reuse it across the recursion pairs (bit-identical outputs).')
-_MAX_BATCH = flags.DEFINE_integer(
+_MAX_BATCH = define_flag(flags.DEFINE_integer,
     'max_batch', 8, 'Device batch cap for frontier recursion.')
-_PAIRS_PER_CHUNK = flags.DEFINE_integer(
+_PAIRS_PER_CHUNK = define_flag(flags.DEFINE_integer,
     'pairs_per_chunk', 0,
     'Input pairs expanded per device chunk in frontier mode; 0 sizes it '
     'automatically from --device_memory_budget_gb.')
-_DEVICE_MEMORY_BUDGET_GB = flags.DEFINE_float(
+_DEVICE_MEMORY_BUDGET_GB = define_flag(flags.DEFINE_float,
     'device_memory_budget_gb', 4.0,
     'Device-memory budget (GiB) for the frontier recursion frame tree; '
     'bounds peak HBM independent of sequence length.')
-_PLATFORM = flags.DEFINE_string(
+_PLATFORM = define_flag(flags.DEFINE_string,
     'platform', None,
     "Force a JAX platform (e.g. 'cpu'); default uses the best available.")
-_NUM_SHARDS = flags.DEFINE_integer(
+_NUM_SHARDS = define_flag(flags.DEFINE_integer,
     'num_shards', 1,
     'Fleet fan-out: total number of hosts splitting the directory list '
     '(the Beam-runner replacement — run one invocation per host with '
     'distinct --shard_index, e.g. from a GKE indexed job).')
-_SHARD_INDEX = flags.DEFINE_integer(
+_SHARD_INDEX = define_flag(flags.DEFINE_integer,
     'shard_index', 0, 'This host\'s shard in [0, num_shards).')
-_WARP_IMPL = flags.DEFINE_enum(
+_WARP_IMPL = define_flag(flags.DEFINE_enum,
     'warp_impl', 'auto', ['auto', 'gather', 'window'],
     'Backward-warp implementation: the window-DMA Pallas kernel on large '
     'TPU inputs (auto/window) or the portable XLA gather. Numerically '

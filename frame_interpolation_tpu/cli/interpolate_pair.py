@@ -16,36 +16,40 @@ from __future__ import annotations
 import numpy as np
 from absl import app, flags
 
-from ._common import apply_platform_flag, load_interpolator_from_flag
+from ._common import (apply_platform_flag, define_flag,
+                      load_interpolator_from_flag)
 
-_FRAME1 = flags.DEFINE_string('frame1', None, 'Filepath of the first frame.',
+_FRAME1 = define_flag(flags.DEFINE_string,
+    'frame1', None, 'Filepath of the first frame.',
                               required=True)
-_FRAME2 = flags.DEFINE_string('frame2', None, 'Filepath of the second frame.',
+_FRAME2 = define_flag(flags.DEFINE_string,
+    'frame2', None, 'Filepath of the second frame.',
                               required=True)
-_PARAMS = flags.DEFINE_string(
+_PARAMS = define_flag(flags.DEFINE_string,
     'params', None, "Parameter bundle / TF SavedModel path, or 'random'.",
     required=True)
-_OUTPUT_FRAME = flags.DEFINE_string('output_frame', None,
+_OUTPUT_FRAME = define_flag(flags.DEFINE_string, 'output_frame', None,
                                     'Filepath of the output mid-frame.',
                                     required=True)
-_ALIGN = flags.DEFINE_integer(
+_ALIGN = define_flag(flags.DEFINE_integer,
     'align', 64, 'If >1, pad the input size so it divides with this before '
     'inference.')
-_BLOCK_HEIGHT = flags.DEFINE_integer(
+_BLOCK_HEIGHT = define_flag(flags.DEFINE_integer,
     'block_height', 1, 'Number of patches along height, '
     '1 for no tiling along height.')
-_BLOCK_WIDTH = flags.DEFINE_integer(
+_BLOCK_WIDTH = define_flag(flags.DEFINE_integer,
     'block_width', 1, 'Number of patches along width, '
     '1 for no tiling along width.')
-_TIME = flags.DEFINE_float(
+_TIME = define_flag(flags.DEFINE_float,
     'time', 0.5, 'Sub-frame time in [0, 1] (film_net always predicts the '
     'midpoint; kept for API parity).')
-_DTYPE = flags.DEFINE_enum('dtype_policy', None, ['float32', 'bfloat16'],
+_DTYPE = define_flag(flags.DEFINE_enum,
+    'dtype_policy', None, ['float32', 'bfloat16'],
                            'Override the compute dtype policy.')
-_PLATFORM = flags.DEFINE_string(
+_PLATFORM = define_flag(flags.DEFINE_string,
     'platform', None,
     "Force a JAX platform (e.g. 'cpu'); default uses the best available.")
-_WARP_IMPL = flags.DEFINE_enum(
+_WARP_IMPL = define_flag(flags.DEFINE_enum,
     'warp_impl', 'auto', ['auto', 'gather', 'window'],
     'Backward-warp implementation: the window-DMA Pallas kernel on large '
     'TPU inputs (auto/window) or the portable XLA gather. Numerically '

@@ -23,62 +23,64 @@ import os
 
 from absl import app, flags, logging
 
-_EXPERIMENT = flags.DEFINE_enum(
+from ._common import define_flag
+
+_EXPERIMENT = define_flag(flags.DEFINE_enum,
     'experiment', 'film_net-L1',
     ['film_net-L1', 'film_net-VGG', 'film_net-Style'],
     'Experiment preset (mirrors the released gin configs).')
-_GIN_CONFIG = flags.DEFINE_string(
+_GIN_CONFIG = define_flag(flags.DEFINE_string,
     'gin_config', None,
     'Path to a reference-style training gin file; overrides --experiment '
     '(compatibility with google-research/frame-interpolation configs).')
-_BASE_FOLDER = flags.DEFINE_string('base_folder', None,
+_BASE_FOLDER = define_flag(flags.DEFINE_string, 'base_folder', None,
                                    'Root folder for training runs.',
                                    required=True)
-_LABEL = flags.DEFINE_string('label', 'run0', 'Run descriptor.')
-_MODE = flags.DEFINE_enum('mode', 'auto', ['auto', 'cpu'],
+_LABEL = define_flag(flags.DEFINE_string, 'label', 'run0', 'Run descriptor.')
+_MODE = define_flag(flags.DEFINE_enum, 'mode', 'auto', ['auto', 'cpu'],
                           "Device mode: 'cpu' to debug on host.")
-_TRAIN_FILE = flags.DEFINE_string(
+_TRAIN_FILE = define_flag(flags.DEFINE_string,
     'train_file', None, "Training TFRecord spec ('file' or 'file@N'). "
     'Deprecated in favor of --train_files, like the reference '
     "(training/data_lib.py:242-247); still honored for single sources.")
-_TRAIN_FILES = flags.DEFINE_list(
+_TRAIN_FILES = define_flag(flags.DEFINE_list,
     'train_files', [],
     'Training TFRecord specs for several mixed sources '
     '(training/data_lib.py:242-259 parity).')
-_TRAIN_WEIGHTS = flags.DEFINE_list(
+_TRAIN_WEIGHTS = define_flag(flags.DEFINE_list,
     'train_weights', [],
     'Per-source sampling weights for --train_files (uniform when empty).')
-_CROP_SIZES = flags.DEFINE_list(
+_CROP_SIZES = define_flag(flags.DEFINE_list,
     'crop_sizes', [],
     'Per-source crop sizes for --train_files; defaults to the experiment '
     'crop size for every source.')
-_BATCH_SIZE = flags.DEFINE_integer('batch_size', None,
+_BATCH_SIZE = define_flag(flags.DEFINE_integer, 'batch_size', None,
                                    'Override global batch size.')
-_CROP_SIZE = flags.DEFINE_integer('crop_size', None,
+_CROP_SIZE = define_flag(flags.DEFINE_integer, 'crop_size', None,
                                   'Override training crop size.')
-_NUM_STEPS = flags.DEFINE_integer('num_steps', None,
+_NUM_STEPS = define_flag(flags.DEFINE_integer, 'num_steps', None,
                                   'Override number of training steps.')
-_SAVE_INTERVAL = flags.DEFINE_integer('save_interval', 3000,
+_SAVE_INTERVAL = define_flag(flags.DEFINE_integer, 'save_interval', 3000,
                                       'Checkpoint/eval/summary interval.')
-_VGG_MODEL_FILE = flags.DEFINE_string(
+_VGG_MODEL_FILE = define_flag(flags.DEFINE_string,
     'vgg_model_file', None,
     'Path to imagenet-vgg-verydeep-19.mat (VGG/Style experiments).')
-_EVAL_FILES = flags.DEFINE_list('eval_files', [],
+_EVAL_FILES = define_flag(flags.DEFINE_list, 'eval_files', [],
                                 'Eval TFRecord specs.')
-_EVAL_NAMES = flags.DEFINE_list('eval_names', [],
+_EVAL_NAMES = define_flag(flags.DEFINE_list, 'eval_names', [],
                                 'Names of the eval datasets.')
-_EVAL_MAX_EXAMPLES = flags.DEFINE_integer(
+_EVAL_MAX_EXAMPLES = define_flag(flags.DEFINE_integer,
     'eval_max_examples', -1, 'Max examples per eval dataset; -1 = all.')
-_PROFILE_DIR = flags.DEFINE_string(
+_PROFILE_DIR = define_flag(flags.DEFINE_string,
     'profile_dir', None,
     'If set, capture a jax.profiler device trace for a few steps here.')
-_COORDINATOR_ADDRESS = flags.DEFINE_string(
+_COORDINATOR_ADDRESS = define_flag(flags.DEFINE_string,
     'coordinator_address', None,
     'host:port of process 0 for multi-host training (TPU pods usually '
     'auto-detect; leave unset on a single host).')
-_NUM_PROCESSES = flags.DEFINE_integer('num_processes', None,
+_NUM_PROCESSES = define_flag(flags.DEFINE_integer, 'num_processes', None,
                                       'Total processes (multi-host).')
-_PROCESS_ID = flags.DEFINE_integer('process_id', None,
+_PROCESS_ID = define_flag(flags.DEFINE_integer, 'process_id', None,
                                    'This process index (multi-host).')
 
 

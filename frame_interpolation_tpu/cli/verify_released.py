@@ -37,31 +37,36 @@ from typing import Dict, Optional
 import numpy as np
 from absl import app, flags
 
-from ._common import apply_platform_flag
+from ._common import apply_platform_flag, define_flag
 
-_MODEL_PATH = flags.DEFINE_string(
-    'model_path', None,
+# define_flag: co-importable with the other CLIs (shared --model_path/
+# --tfrecord/... names live in absl's process-global registry).
+_MODEL_PATH = define_flag(
+    flags.DEFINE_string, 'model_path', None,
     'Released TF SavedModel dir (or TF checkpoint dir / native bundle; '
-    'those support the import check only).', required=True)
-_FRAME1 = flags.DEFINE_string('frame1', None,
-                              'First photo of the agreement-check pair.')
-_FRAME2 = flags.DEFINE_string('frame2', None,
-                              'Second photo of the agreement-check pair.')
-_TFRECORD = flags.DEFINE_string(
-    'tfrecord', None, "Eval TFRecord spec ('file' or 'file@N') for the "
-    'benchmark-delta check.')
-_MAX_EXAMPLES = flags.DEFINE_integer(
-    'max_examples', -1, 'Benchmark-delta example limit; -1 = all.')
-_MIN_AGREEMENT_DB = flags.DEFINE_float(
-    'min_agreement_db', 50.0, 'Forward-agreement PSNR bar (dB).')
-_MAX_BENCHMARK_DELTA_DB = flags.DEFINE_float(
-    'max_benchmark_delta_db', 0.05, 'Benchmark mean-PSNR delta budget (dB).')
-_DTYPE_POLICY = flags.DEFINE_string(
-    'dtype_policy', 'float32',
+    'those support the import check only).')
+_FRAME1 = define_flag(flags.DEFINE_string, 'frame1', None,
+                      'First photo of the agreement-check pair.')
+_FRAME2 = define_flag(flags.DEFINE_string, 'frame2', None,
+                      'Second photo of the agreement-check pair.')
+_TFRECORD = define_flag(
+    flags.DEFINE_string, 'tfrecord', None,
+    "Eval TFRecord spec ('file' or 'file@N') for the benchmark-delta check.")
+_MAX_EXAMPLES = define_flag(
+    flags.DEFINE_integer, 'max_examples', -1,
+    'Benchmark-delta example limit; -1 = all.')
+_MIN_AGREEMENT_DB = define_flag(
+    flags.DEFINE_float, 'min_agreement_db', 50.0,
+    'Forward-agreement PSNR bar (dB).')
+_MAX_BENCHMARK_DELTA_DB = define_flag(
+    flags.DEFINE_float, 'max_benchmark_delta_db', 0.05,
+    'Benchmark mean-PSNR delta budget (dB).')
+_DTYPE_POLICY = define_flag(
+    flags.DEFINE_string, 'dtype_policy', 'float32',
     "Forward precision ('float32' keeps the check strict; 'bfloat16' "
     'verifies the serving policy instead).')
-_PLATFORM = flags.DEFINE_string(
-    'platform', None, "Force a JAX platform (e.g. 'cpu').")
+_PLATFORM = define_flag(flags.DEFINE_string, 'platform', None,
+                        "Force a JAX platform (e.g. 'cpu').")
 
 _ALIGN = 64
 
@@ -202,6 +207,8 @@ def run_gate(model_path: str,
 
 def main(argv):
   del argv
+  if not _MODEL_PATH.value:
+    raise app.UsageError('--model_path is required.')
   apply_platform_flag(_PLATFORM.value)
   result = run_gate(
       _MODEL_PATH.value, _FRAME1.value, _FRAME2.value, _TFRECORD.value,
