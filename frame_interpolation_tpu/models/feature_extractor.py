@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import folded_conv
 from ..ops import pyramid as pyramid_ops
 from ..options import Options
 
@@ -33,7 +34,10 @@ _leaky_relu = functools.partial(jax.nn.leaky_relu, negative_slope=0.2)
 class SubTreeExtractor(nn.Module):
   """Conventional hierarchical extractor: 2 convs per level + avg-pool.
 
-  Reference: models/film_net/feature_extractor.py:102-147.
+  Reference: models/film_net/feature_extractor.py:102-147. Sub-levels
+  whose channel count leaves XLA's 128-lane conv layouts padded run
+  W-folded (ops/folded_conv.py) under options.fold_convs — identical
+  math, half the HBM traffic on TPU.
   """
   options: Options
 
@@ -43,25 +47,43 @@ class SubTreeExtractor(nn.Module):
     convs = []
     for i in range(n):
       convs.append(
-          nn.Conv(features=k << i, kernel_size=(3, 3), padding='SAME',
-                  dtype=self.options.compute_dtype,
-                  name=f'cfeat_conv_{2 * i}'))
+          folded_conv.FoldableConv(
+              features=k << i, kernel_size=(3, 3),
+              dtype=self.options.compute_dtype,
+              name=f'cfeat_conv_{2 * i}'))
       convs.append(
-          nn.Conv(features=k << i, kernel_size=(3, 3), padding='SAME',
-                  dtype=self.options.compute_dtype,
-                  name=f'cfeat_conv_{2 * i + 1}'))
+          folded_conv.FoldableConv(
+              features=k << i, kernel_size=(3, 3),
+              dtype=self.options.compute_dtype,
+              name=f'cfeat_conv_{2 * i + 1}'))
     self.convs = convs
+
+  def _fold(self, head: jnp.ndarray, features: int) -> bool:
+    mode = self.options.fold_convs
+    if mode == 'off' or 2 * features > 128 or head.shape[-2] % 2:
+      return False
+    return mode == 'on' or head.shape[-2] >= 256
 
   def __call__(self, image: jnp.ndarray, n: int) -> List[jnp.ndarray]:
     """Extracts `n` pyramid levels of features from `image` (finest first)."""
     head = image
     pyramid = []
     for i in range(n):
-      head = _leaky_relu(self.convs[2 * i](head))
-      head = _leaky_relu(self.convs[2 * i + 1](head))
-      pyramid.append(head)
-      if i < n - 1:
-        head = pyramid_ops.avg_pool_2x(head)
+      if self._fold(head, self.options.filters << i):
+        hf = folded_conv.fold(head)
+        hf = _leaky_relu(self.convs[2 * i](hf, folded=True))
+        hf = _leaky_relu(self.convs[2 * i + 1](hf, folded=True))
+        pyramid.append(folded_conv.unfold(hf))
+        if i < n - 1:
+          head = (folded_conv.avg_pool_2x_folded(hf)
+                  if head.shape[-3] % 2 == 0 else
+                  pyramid_ops.avg_pool_2x(pyramid[-1]))
+      else:
+        head = _leaky_relu(self.convs[2 * i](head))
+        head = _leaky_relu(self.convs[2 * i + 1](head))
+        pyramid.append(head)
+        if i < n - 1:
+          head = pyramid_ops.avg_pool_2x(head)
     return pyramid
 
 

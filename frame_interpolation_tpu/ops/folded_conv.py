@@ -1,0 +1,143 @@
+"""W-folded convolutions: space-to-channel folding for sub-128-lane convs.
+
+On TPU, XLA assigns feature-minor T(2,128) layouts to conv operands and
+pads the channel dim to 128 lanes, so a C=64 conv moves 2x its logical
+bytes and a C=32 conv 4x (measured: experiments/probe_conv_inflation.py —
+a 1088x1920x64 conv costs the same as 1088x1920x128, while the folded
+1088x960x128 equivalent runs 1.6x faster). Folding pairs of horizontally
+adjacent pixels into channels ((N, H, W, C) -> (N, H, W/2, 2C)) makes the
+lane dim exact, halving real HBM traffic for C=64 sites at the cost of 2x
+MXU issue (cheap: these convs are bandwidth-bound).
+
+A 3x3 (or 2x2) conv commutes with folding through a block-structured
+weight transform: folded output sub-position so at folded column p is
+original column 2p+so; its original tap at offset dx lands at folded
+column p + kxp - 1, sub-position si, with 2*(kxp-1) + si = so + dx.
+Equivalence is exact up to accumulation order (verified in
+experiments/probe_folded_conv.py and tests/test_folded_conv.py).
+
+Reference conv sites this accelerates: feature_extractor.py:119-123,
+pyramid_flow_estimator.py:49-98, fusion.py:76-101 of
+google-research/frame-interpolation (all stock Keras Conv2D there).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def fold(x: jnp.ndarray) -> jnp.ndarray:
+  """(N, H, W, C) -> (N, H, W/2, 2C); lane order [left px C | right px C].
+
+  A pure reshape: NHWC row-major adjacency means the W and C dims merge
+  contiguously, so no data movement beyond XLA's layout change.
+  """
+  n, h, w, c = x.shape
+  assert w % 2 == 0, ('fold requires even width', x.shape)
+  return x.reshape(n, h, w // 2, 2 * c)
+
+
+def unfold(y: jnp.ndarray) -> jnp.ndarray:
+  """(N, H, W/2, 2C) -> (N, H, W, C)."""
+  n, h, wp, c2 = y.shape
+  assert c2 % 2 == 0
+  return y.reshape(n, h, wp * 2, c2 // 2)
+
+
+def fold_weights(w: jnp.ndarray,
+                 piece_sizes: Sequence[int] = ()) -> jnp.ndarray:
+  """(KH, KW, Cin, Cout) conv weights -> (KH, KW', 2Cin, 2Cout) folded.
+
+  KW' = KW for odd KW (3x3), KW/2 + 1 for even KW (2x2 'SAME', whose taps
+  cover dx in {0, 1}).
+
+  piece_sizes: if the folded input is a channel-concat of separately
+  folded pieces (concat(fold(x1), fold(x2), ...) rather than
+  fold(concat(x1, x2, ...))), pass the per-piece channel counts; the
+  input-lane blocks are laid out per piece as [x1_L x1_R x2_L x2_R ...].
+  """
+  kh, kw, cin, cout = w.shape
+  # Original horizontal tap offsets under lax 'SAME': odd kw -> centered
+  # {-(kw//2), ..., kw//2}; even kw -> pad_lo=0 so taps {0, ..., kw-1}.
+  taps = (list(range(-(kw // 2), kw // 2 + 1)) if kw % 2
+          else list(range(kw)))
+  # t = so + dx spans [min(taps), 1 + max(taps)]; folded column offset
+  # o = floor(t / 2), sub-position si = t mod 2 (floor semantics).
+  o_min = min(taps) // 2 if min(taps) >= 0 else -((-min(taps) + 1) // 2)
+  o_max = (1 + max(taps)) // 2
+  kwp = o_max - o_min + 1
+  pieces = tuple(piece_sizes) if piece_sizes else (cin,)
+  assert sum(pieces) == cin, (pieces, cin)
+  wf = jnp.zeros((kh, kwp, 2 * cin, 2 * cout), w.dtype)
+  in_off = 0
+  for piece in pieces:
+    for so in range(2):
+      for ti, dx in enumerate(taps):
+        t = so + dx
+        o = t // 2          # Python floor division: correct for t < 0.
+        si = t % 2
+        row0 = 2 * in_off + si * piece
+        col0 = so * cout
+        wf = wf.at[:, o - o_min, row0:row0 + piece, col0:col0 + cout].set(
+            w[:, ti, in_off:in_off + piece, :])
+    in_off += piece
+  return wf
+
+
+def fold_bias(b: jnp.ndarray) -> jnp.ndarray:
+  return jnp.concatenate([b, b])
+
+
+def avg_pool_2x_folded(hf: jnp.ndarray) -> jnp.ndarray:
+  """2x2/2 average pool of a folded tensor -> UNfolded half-res result.
+
+  The fold pairs are exactly the horizontal pool pairs, so pooling a
+  folded (N, H, W/2, 2C) tensor is a row-pair + lane-half mean producing
+  (N, H/2, W/2, C) — naturally unfolded. Matches ops/pyramid.avg_pool_2x
+  up to accumulation order.
+  """
+  n, h, wp, c2 = hf.shape
+  assert h % 2 == 0 and c2 % 2 == 0
+  c = c2 // 2
+  v = hf.reshape(n, h // 2, 2, wp, 2, c)
+  return (v.sum(axis=(2, 4)) * jnp.asarray(0.25, hf.dtype)).astype(hf.dtype)
+
+
+class FoldableConv(nn.Module):
+  """Drop-in nn.Conv replacement that can run W-folded.
+
+  Parameters (name, shape, init, dtype handling) are identical to
+  flax.linen.Conv with the same arguments, so init_params trees and
+  checkpoint imports are unchanged. __call__(x, folded=True) expects a
+  folded input (N, H, W/2, 2*Cin) and produces a folded output.
+  """
+  features: int
+  kernel_size: Tuple[int, int]
+  dtype: jnp.dtype = jnp.float32
+  piece_sizes: Tuple[int, ...] = ()
+
+  @nn.compact
+  def __call__(self, x: jnp.ndarray, folded: bool = False) -> jnp.ndarray:
+    kh, kw = self.kernel_size
+    cin = x.shape[-1] // 2 if folded else x.shape[-1]
+    kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                        (kh, kw, cin, self.features), jnp.float32)
+    bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                      jnp.float32)
+    x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                              dtype=self.dtype)
+    if folded:
+      kernel = fold_weights(kernel, self.piece_sizes)
+      bias = fold_bias(bias)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
+
+def fold_ok(x: jnp.ndarray, min_width: int = 256) -> bool:
+  """Whether folding pays for this (static) shape: even W, big enough."""
+  return x.shape[-2] % 2 == 0 and x.shape[-2] >= min_width

@@ -43,6 +43,11 @@ class Options:
       Pallas kernel, ops/warp_window.py; TPU only), or 'auto' (window on
       TPU for levels large enough to benefit, gather elsewhere). All
       choices are numerically equivalent (pinned in tests).
+    fold_convs: W-folded (space-to-channel) execution of sub-128-channel
+      conv stacks (ops/folded_conv.py) — 'auto' (fold wide layers where
+      XLA's 128-lane padding would inflate HBM traffic), 'on' (fold every
+      eligible layer; tests), or 'off'. Numerically equivalent up to
+      accumulation order (pinned in tests).
   """
   pyramid_levels: int = 5
   fusion_pyramid_levels: int = 5
@@ -54,6 +59,7 @@ class Options:
   use_aux_outputs: bool = True
   dtype_policy: str = 'float32'
   warp_impl: str = 'gather'
+  fold_convs: str = 'auto'
 
   def __post_init__(self):
     if self.pyramid_levels < self.fusion_pyramid_levels:
@@ -64,6 +70,8 @@ class Options:
       raise ValueError(f'Unknown dtype_policy: {self.dtype_policy}')
     if self.warp_impl not in ('gather', 'window', 'auto'):
       raise ValueError(f'Unknown warp_impl: {self.warp_impl}')
+    if self.fold_convs not in ('auto', 'on', 'off'):
+      raise ValueError(f'Unknown fold_convs: {self.fold_convs}')
 
   @property
   def compute_dtype(self):

@@ -1,0 +1,127 @@
+"""W-folded conv equivalence tests (ops/folded_conv.py).
+
+The folded path must match the plain conv path up to accumulation order:
+the released-checkpoint PSNR parity budget rides on it (CLAUDE.md
+invariants). Covers the weight transform for 1x1/2x2/3x3 kernels, the
+piece-wise concat layout, the folded pool, module/param compatibility
+with nn.Conv, and the full model under fold_convs='on' vs 'off'.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frame_interpolation_tpu.models.film_net import FilmNet, init_params
+from frame_interpolation_tpu.ops import folded_conv, pyramid
+from frame_interpolation_tpu.options import Options
+
+
+def _conv(x, w, b=None):
+  y = jax.lax.conv_general_dilated(
+      x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  if b is not None:
+    y = y + b[None, None, None]
+  return y
+
+
+@pytest.mark.parametrize('kh,kw', [(3, 3), (2, 2), (1, 1), (3, 1)])
+@pytest.mark.parametrize('cin,cout', [(3, 8), (6, 6), (5, 2)])
+def test_fold_weights_matches_plain_conv(kh, kw, cin, cout):
+  rng = np.random.RandomState(hash((kh, kw, cin, cout)) % 2**31)
+  x = jnp.asarray(rng.rand(2, 6, 10, cin).astype(np.float32))
+  w = jnp.asarray((rng.rand(kh, kw, cin, cout) - 0.5).astype(np.float32))
+  b = jnp.asarray(rng.rand(cout).astype(np.float32))
+  want = _conv(x, w, b)
+  got = folded_conv.unfold(
+      _conv(folded_conv.fold(x), folded_conv.fold_weights(w),
+            folded_conv.fold_bias(b)))
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_fold_weights_piece_layout():
+  # conv(concat(a, b)) == folded conv over concat(fold(a), fold(b)) with
+  # piece-aware weight folding.
+  rng = np.random.RandomState(7)
+  a = jnp.asarray(rng.rand(1, 4, 8, 5).astype(np.float32))
+  b = jnp.asarray(rng.rand(1, 4, 8, 3).astype(np.float32))
+  w = jnp.asarray((rng.rand(3, 3, 8, 4) - 0.5).astype(np.float32))
+  want = _conv(jnp.concatenate([a, b], axis=-1), w)
+  xf = jnp.concatenate([folded_conv.fold(a), folded_conv.fold(b)], axis=-1)
+  got = folded_conv.unfold(
+      _conv(xf, folded_conv.fold_weights(w, piece_sizes=(5, 3))))
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_avg_pool_2x_folded_matches_plain():
+  rng = np.random.RandomState(3)
+  x = jnp.asarray(rng.rand(2, 8, 12, 5).astype(np.float32))
+  want = pyramid.avg_pool_2x(x)
+  got = folded_conv.avg_pool_2x_folded(folded_conv.fold(x))
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-6, atol=1e-6)
+
+
+def test_foldable_conv_params_match_nn_conv():
+  # Same name/shape/init tree as nn.Conv, and identical unfolded forward.
+  rng = np.random.RandomState(0)
+  x = jnp.asarray(rng.rand(1, 6, 8, 5).astype(np.float32))
+  key = jax.random.PRNGKey(42)
+  ours = folded_conv.FoldableConv(features=7, kernel_size=(3, 3),
+                                  name='conv')
+  theirs = nn.Conv(features=7, kernel_size=(3, 3), padding='SAME',
+                   name='conv')
+  p_ours = ours.init(key, x)
+  p_theirs = theirs.init(key, x)
+  flat_o = jax.tree_util.tree_leaves_with_path(p_ours)
+  flat_t = dict((jax.tree_util.keystr(p), v)
+                for p, v in jax.tree_util.tree_leaves_with_path(p_theirs))
+  assert len(flat_o) == len(flat_t)
+  for path, value in flat_o:
+    np.testing.assert_array_equal(np.asarray(value),
+                                  np.asarray(flat_t[jax.tree_util.keystr(path)]),
+                                  err_msg=str(path))
+  np.testing.assert_allclose(
+      np.asarray(ours.apply(p_ours, x)),
+      np.asarray(theirs.apply(p_theirs, x)), rtol=1e-6, atol=1e-6)
+  # Folded forward agrees with the plain one.
+  yf = folded_conv.unfold(ours.apply(p_ours, folded_conv.fold(x),
+                                     folded=True))
+  np.testing.assert_allclose(np.asarray(yf),
+                             np.asarray(ours.apply(p_ours, x)),
+                             rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('dtype_policy', ['float32', 'bfloat16'])
+def test_model_fold_on_matches_off(dtype_policy):
+  opts_off = Options.tiny(dtype_policy=dtype_policy, fold_convs='off')
+  opts_on = Options.tiny(dtype_policy=dtype_policy, fold_convs='on')
+  model_off = FilmNet(opts_off)
+  model_on = FilmNet(opts_on)
+  params = init_params(model_off, jax.random.PRNGKey(0))
+  rng = np.random.RandomState(1)
+  align = opts_off.align
+  h = w = align * 2
+  x0 = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+  x1 = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+  t = jnp.asarray(np.full((1, 1), 0.5, np.float32))
+  out_off = model_off.apply({'params': params}, x0, x1, t)['image']
+  out_on = model_on.apply({'params': params}, x0, x1, t)['image']
+  tol = 5e-2 if dtype_policy == 'bfloat16' else 1e-4
+  np.testing.assert_allclose(np.asarray(out_on, np.float32),
+                             np.asarray(out_off, np.float32), atol=tol)
+
+
+def test_released_auto_gate_shapes():
+  # 'auto' folds only wide, even layers; odd widths fall back cleanly.
+  opts = Options.tiny(fold_convs='auto')
+  model = FilmNet(opts)
+  params = init_params(model, jax.random.PRNGKey(0))
+  rng = np.random.RandomState(2)
+  align = opts.align
+  x0 = jnp.asarray(rng.rand(1, align * 2, align * 2, 3).astype(np.float32))
+  t = jnp.asarray(np.full((1, 1), 0.5, np.float32))
+  out = model.apply({'params': params}, x0, x0, t)['image']
+  assert np.isfinite(np.asarray(out, np.float32)).all()
