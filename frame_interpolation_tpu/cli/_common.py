@@ -28,11 +28,20 @@ def apply_platform_flag(value) -> None:
 
 
 def load_interpolator_from_flag(params_flag: str, align, block_shape,
-                                dtype_policy=None, warp_impl=None):
+                                dtype_policy=None, warp_impl=None,
+                                fold_convs=None):
   """Builds an Interpolator from a bundle/SavedModel path or 'random'."""
   import dataclasses
 
   from ..inference import Interpolator, load_interpolator
+
+  def override(options):
+    if warp_impl and warp_impl != options.warp_impl:
+      options = dataclasses.replace(options, warp_impl=warp_impl)
+    if fold_convs and fold_convs != options.fold_convs:
+      options = dataclasses.replace(options, fold_convs=fold_convs)
+    return options
+
   if params_flag == 'random':
     import jax
 
@@ -41,15 +50,14 @@ def load_interpolator_from_flag(params_flag: str, align, block_shape,
     options = Options.film_net_released()
     if dtype_policy:
       options = dataclasses.replace(options, dtype_policy=dtype_policy)
-    if warp_impl:
-      options = dataclasses.replace(options, warp_impl=warp_impl)
+    options = override(options)
     params = init_params(FilmNet(options), jax.random.PRNGKey(42))
     return Interpolator(params, options, align=align, block_shape=block_shape)
   interp = load_interpolator(params_flag, align=align,
                              block_shape=block_shape,
                              dtype_policy=dtype_policy)
-  if warp_impl and warp_impl != interp.options.warp_impl:
-    options = dataclasses.replace(interp.options, warp_impl=warp_impl)
+  options = override(interp.options)
+  if options is not interp.options:
     interp = Interpolator(interp.params, options, align=align,
                           block_shape=block_shape)
   return interp

@@ -79,6 +79,10 @@ _WARP_IMPL = define_flag(flags.DEFINE_enum,
     'Backward-warp implementation: the window-DMA Pallas kernel on large '
     'TPU inputs (auto/window) or the portable XLA gather. Numerically '
     'equivalent.')
+_FOLD_CONVS = define_flag(flags.DEFINE_enum,
+    'fold_convs', None, ['auto', 'on', 'off'],
+    'W-folded execution of sub-128-lane conv stacks (ops/folded_conv.py). '
+    'Numerically equivalent; default uses the bundle/auto setting.')
 
 _INPUT_EXT = ('png', 'jpg', 'jpeg')
 
@@ -154,7 +158,7 @@ def main(argv):
   interpolator = load_interpolator_from_flag(
       _PARAMS.value, _ALIGN.value,
       [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value],
-      warp_impl=_WARP_IMPL.value)
+      warp_impl=_WARP_IMPL.value, fold_convs=_FOLD_CONVS.value)
   for directory in directories:
     process_directory(directory, interpolator)
 

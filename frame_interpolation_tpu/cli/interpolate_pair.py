@@ -54,6 +54,10 @@ _WARP_IMPL = define_flag(flags.DEFINE_enum,
     'Backward-warp implementation: the window-DMA Pallas kernel on large '
     'TPU inputs (auto/window) or the portable XLA gather. Numerically '
     'equivalent.')
+_FOLD_CONVS = define_flag(flags.DEFINE_enum,
+    'fold_convs', None, ['auto', 'on', 'off'],
+    'W-folded execution of sub-128-lane conv stacks (ops/folded_conv.py). '
+    'Numerically equivalent; default uses the bundle/auto setting.')
 
 
 def main(argv):
@@ -63,7 +67,7 @@ def main(argv):
   interpolator = load_interpolator_from_flag(
       _PARAMS.value, _ALIGN.value,
       [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value], _DTYPE.value,
-      warp_impl=_WARP_IMPL.value)
+      warp_impl=_WARP_IMPL.value, fold_convs=_FOLD_CONVS.value)
   image_1 = images.read_image(_FRAME1.value)
   image_2 = images.read_image(_FRAME2.value)
   if image_1.shape != image_2.shape:

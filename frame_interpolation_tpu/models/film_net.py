@@ -27,6 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import folded_conv
 from ..ops import pyramid as pyramid_ops
 from ..options import Options
 from .feature_extractor import FeatureExtractor
@@ -111,6 +112,21 @@ class FilmNet(nn.Module):
         aligned_pyramid, [f.astype(compute_dtype) for f in backward_flow])
     aligned_pyramid = pyramid_ops.concatenate_pyramids(
         aligned_pyramid, [f.astype(compute_dtype) for f in forward_flow])
+
+    # W-fold the finest aligned level (ops/folded_conv.py): the skip
+    # concat is built from separately folded pieces so each fold fuses
+    # into its producer, and the fusion decoder's finest conv stack runs
+    # lane-exact. Identical math (tests/test_folded_conv.py).
+    mode = config.fold_convs
+    w0 = forward_warped_pyramid[0].shape[-2]
+    if (mode != 'off' and 2 * config.filters <= 128 and w0 % 2 == 0
+        and (mode == 'on' or w0 >= 256)):
+      aligned_pyramid[0] = folded_conv.fold_pieces([
+          forward_warped_pyramid[0],
+          backward_warped_pyramid[0],
+          backward_flow[0].astype(compute_dtype),
+          forward_flow[0].astype(compute_dtype),
+      ])
 
     prediction = self.fusion(aligned_pyramid)
     output_color = prediction[..., :3].astype(jnp.float32)

@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import folded_conv
 from ..ops import resize
 from ..ops import warp as warp_ops
 from ..options import Options
@@ -32,7 +33,11 @@ class FlowEstimator(nn.Module):
   """Small-receptive-field residual flow predictor.
 
   N 3x3 convs + a 1x1 conv (filters/2) + a 1x1 2-channel conv with no
-  activation (reference pyramid_flow_estimator.py:49-98).
+  activation (reference pyramid_flow_estimator.py:49-98). The low-filter
+  wide levels run W-folded (ops/folded_conv.py): XLA pads the 32/64
+  channel operands to 128 lanes, so folding halves their real HBM
+  traffic; the inputs are folded per piece so the producers' reshapes
+  cancel against the extractor's folded outputs.
   """
   num_convs: int
   num_filters: int
@@ -42,19 +47,37 @@ class FlowEstimator(nn.Module):
     convs = []
     for i in range(self.num_convs):
       convs.append(
-          nn.Conv(self.num_filters, kernel_size=(3, 3), padding='SAME',
-                  dtype=self.options.compute_dtype, name=f'conv_{i}'))
+          folded_conv.FoldableConv(
+              self.num_filters, kernel_size=(3, 3),
+              dtype=self.options.compute_dtype, name=f'conv_{i}'))
     convs.append(
-        nn.Conv(self.num_filters // 2, kernel_size=(1, 1), padding='SAME',
-                dtype=self.options.compute_dtype,
-                name=f'conv_{self.num_convs}'))
+        folded_conv.FoldableConv(
+            self.num_filters // 2, kernel_size=(1, 1),
+            dtype=self.options.compute_dtype,
+            name=f'conv_{self.num_convs}'))
     convs.append(
-        nn.Conv(2, kernel_size=(1, 1), padding='SAME',
-                dtype=jnp.float32, name=f'conv_{self.num_convs + 1}'))
+        folded_conv.FoldableConv(
+            2, kernel_size=(1, 1), dtype=jnp.float32,
+            name=f'conv_{self.num_convs + 1}'))
     self.convs = convs
+
+  def _fold(self, x: jnp.ndarray) -> bool:
+    mode = self.options.fold_convs
+    if mode == 'off' or 2 * self.num_filters > 128 or x.shape[-2] % 2:
+      return False
+    return mode == 'on' or x.shape[-2] >= 256
 
   def __call__(self, features_a: jnp.ndarray,
                features_b: jnp.ndarray) -> jnp.ndarray:
+    if self._fold(features_a):
+      pieces = (features_a.shape[-1], features_b.shape[-1])
+      net = jnp.concatenate([folded_conv.fold(features_a),
+                             folded_conv.fold(features_b)], axis=-1)
+      net = _leaky_relu(self.convs[0](net, folded=True, piece_sizes=pieces))
+      for conv in self.convs[1:-1]:
+        net = _leaky_relu(conv(net, folded=True))
+      net = self.convs[-1](net.astype(jnp.float32), folded=True)
+      return folded_conv.unfold(net)
     net = jnp.concatenate([features_a, features_b], axis=-1)
     for conv in self.convs[:-1]:
       net = _leaky_relu(conv(net))

@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import folded_conv
 from ..ops import resize
 from ..options import Options
 
@@ -29,7 +30,13 @@ _NUMBER_OF_COLOR_CHANNELS = 3
 
 
 class Fusion(nn.Module):
-  """The decoder. Input: aligned feature pyramid, finest first."""
+  """The decoder. Input: aligned feature pyramid, finest first.
+
+  A pyramid entry may be a folded_conv.Folded (the finest level, built by
+  film_net when options.fold_convs applies): that level's resize-conv,
+  skip-concat, 3x3 convs, and the output conv then all run W-folded —
+  identical math, lane-exact layouts on TPU.
+  """
   options: Options
 
   def setup(self):
@@ -43,15 +50,18 @@ class Fusion(nn.Module):
     for i in range(levels - 1):
       num_filters = (k << i) if i < m else (k << m)
       convs.append([
-          nn.Conv(num_filters, kernel_size=(2, 2), padding='SAME',
-                  dtype=self.options.compute_dtype, name=f'conv_{i}_0'),
-          nn.Conv(num_filters, kernel_size=(3, 3), padding='SAME',
-                  dtype=self.options.compute_dtype, name=f'conv_{i}_1'),
-          nn.Conv(num_filters, kernel_size=(3, 3), padding='SAME',
-                  dtype=self.options.compute_dtype, name=f'conv_{i}_2'),
+          folded_conv.FoldableConv(
+              num_filters, kernel_size=(2, 2),
+              dtype=self.options.compute_dtype, name=f'conv_{i}_0'),
+          folded_conv.FoldableConv(
+              num_filters, kernel_size=(3, 3),
+              dtype=self.options.compute_dtype, name=f'conv_{i}_1'),
+          folded_conv.FoldableConv(
+              num_filters, kernel_size=(3, 3),
+              dtype=self.options.compute_dtype, name=f'conv_{i}_2'),
       ])
     self.convs = convs
-    self.output_conv = nn.Conv(
+    self.output_conv = folded_conv.FoldableConv(
         _NUMBER_OF_COLOR_CHANNELS, kernel_size=(1, 1),
         dtype=jnp.float32, name='output_conv')
 
@@ -64,12 +74,29 @@ class Fusion(nn.Module):
     # The coarsest level passes through without convs (reference
     # fusion.py:121-127) — features are already spatially aligned by warp.
     net = pyramid[-1]
+    net_folded = False
     for i in reversed(range(0, len(pyramid) - 1)):
-      h, w = pyramid[i].shape[-3], pyramid[i].shape[-2]
-      net = resize.resize_nearest(net, (h, w))
-      net = self.convs[i][0](net)  # 2x2 conv, no activation
-      net = jnp.concatenate([pyramid[i], net], axis=-1)
-      net = _leaky_relu(self.convs[i][1](net))
-      net = _leaky_relu(self.convs[i][2](net))
-    net = self.output_conv(net.astype(jnp.float32))
+      entry = pyramid[i]
+      if isinstance(entry, folded_conv.Folded):
+        # Folded entries are only built for the finest level, whose
+        # coarser neighbor is exactly 2x smaller (align guarantees it).
+        assert not net_folded and entry.x.shape[-3] == 2 * net.shape[-3]
+        netf = folded_conv.resize_nearest_2x_folded(net)
+        netf = self.convs[i][0](netf, folded=True)  # 2x2 conv, no act.
+        xf = jnp.concatenate([entry.x, netf], axis=-1)
+        pieces = entry.pieces + (self.convs[i][0].features,)
+        net = _leaky_relu(self.convs[i][1](xf, folded=True,
+                                           piece_sizes=pieces))
+        net = _leaky_relu(self.convs[i][2](net, folded=True))
+        net_folded = True
+      else:
+        h, w = entry.shape[-3], entry.shape[-2]
+        net = resize.resize_nearest(net, (h, w))
+        net = self.convs[i][0](net)  # 2x2 conv, no activation
+        net = jnp.concatenate([entry, net], axis=-1)
+        net = _leaky_relu(self.convs[i][1](net))
+        net = _leaky_relu(self.convs[i][2](net))
+    net = self.output_conv(net.astype(jnp.float32), folded=net_folded)
+    if net_folded:
+      net = folded_conv.unfold(net)
     return net

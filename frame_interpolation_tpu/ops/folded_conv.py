@@ -22,7 +22,7 @@ google-research/frame-interpolation (all stock Keras Conv2D there).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -117,10 +117,10 @@ class FoldableConv(nn.Module):
   features: int
   kernel_size: Tuple[int, int]
   dtype: jnp.dtype = jnp.float32
-  piece_sizes: Tuple[int, ...] = ()
 
   @nn.compact
-  def __call__(self, x: jnp.ndarray, folded: bool = False) -> jnp.ndarray:
+  def __call__(self, x: jnp.ndarray, folded: bool = False,
+               piece_sizes: Sequence[int] = ()) -> jnp.ndarray:
     kh, kw = self.kernel_size
     cin = x.shape[-1] // 2 if folded else x.shape[-1]
     kernel = self.param('kernel', nn.initializers.lecun_normal(),
@@ -130,7 +130,7 @@ class FoldableConv(nn.Module):
     x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                               dtype=self.dtype)
     if folded:
-      kernel = fold_weights(kernel, self.piece_sizes)
+      kernel = fold_weights(kernel, piece_sizes)
       bias = fold_bias(bias)
     y = jax.lax.conv_general_dilated(
         x, kernel, (1, 1), 'SAME',
@@ -141,3 +141,30 @@ class FoldableConv(nn.Module):
 def fold_ok(x: jnp.ndarray, min_width: int = 256) -> bool:
   """Whether folding pays for this (static) shape: even W, big enough."""
   return x.shape[-2] % 2 == 0 and x.shape[-2] >= min_width
+
+
+class Folded(NamedTuple):
+  """A W-folded tensor plus the channel sizes of its concat pieces.
+
+  `x` is concat(fold(p_1), ..., fold(p_k)) — NOT fold(concat(...)); the
+  per-piece lane layout is what fold_weights(piece_sizes=...) consumes.
+  """
+  x: jnp.ndarray
+  pieces: Tuple[int, ...]
+
+
+def fold_pieces(arrays: Sequence[jnp.ndarray]) -> 'Folded':
+  return Folded(
+      jnp.concatenate([fold(a) for a in arrays], axis=-1),
+      tuple(a.shape[-1] for a in arrays))
+
+
+def resize_nearest_2x_folded(x: jnp.ndarray) -> jnp.ndarray:
+  """Nearest-neighbor 2x upsample of an UNfolded input, folded output.
+
+  Both folded lane halves of an output column are the same source pixel,
+  so the result is a row-repeat plus a lane duplicate — equal to
+  fold(resize_nearest(x, 2x)) with no unfolded materialization.
+  """
+  xr = jnp.repeat(x, 2, axis=x.ndim - 3)
+  return jnp.concatenate([xr, xr], axis=-1)

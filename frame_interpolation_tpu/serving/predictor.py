@@ -29,26 +29,31 @@ class Predictor:
                align: Optional[int] = 64,
                block_shape: Optional[Sequence[int]] = None,
                dtype_policy: Optional[str] = None,
-               warp_impl: Optional[str] = None):
+               warp_impl: Optional[str] = None,
+               fold_convs: Optional[str] = None):
     self._model_path = model_path
     self._align = align
     self._block_shape = block_shape
     self._dtype_policy = dtype_policy
     self._warp_impl = warp_impl
+    self._fold_convs = fold_convs
     self.interpolator = None
     self.batch_dt = np.full((1,), 0.5, dtype=np.float32)
 
   def setup(self) -> None:
     """Loads model weights; call once before predict()."""
+    import dataclasses
+
     from ..inference import Interpolator, load_interpolator
     self.interpolator = load_interpolator(
         self._model_path, align=self._align, block_shape=self._block_shape,
         dtype_policy=self._dtype_policy)
-    if (self._warp_impl and
-        self._warp_impl != self.interpolator.options.warp_impl):
-      import dataclasses
-      options = dataclasses.replace(self.interpolator.options,
-                                    warp_impl=self._warp_impl)
+    options = self.interpolator.options
+    if self._warp_impl and self._warp_impl != options.warp_impl:
+      options = dataclasses.replace(options, warp_impl=self._warp_impl)
+    if self._fold_convs and self._fold_convs != options.fold_convs:
+      options = dataclasses.replace(options, fold_convs=self._fold_convs)
+    if options is not self.interpolator.options:
       self.interpolator = Interpolator(self.interpolator.params, options,
                                        align=self._align,
                                        block_shape=self._block_shape)
