@@ -57,9 +57,10 @@ def bench_video():
   n_frames = int(os.environ.get('BENCH_FRAMES', '5'))
   height = int(os.environ.get('BENCH_HEIGHT', '1080'))
   width = int(os.environ.get('BENCH_WIDTH', '1920'))
-  options = Options.film_net_released(dtype_policy=dtype_policy,
-                                      use_aux_outputs=False,
-                                      warp_impl=warp_impl)
+  options = Options.film_net_released(
+      dtype_policy=dtype_policy, use_aux_outputs=False,
+      warp_impl=warp_impl,
+      fold_convs=os.environ.get('BENCH_FOLD', 'auto'))
   model = FilmNet(options)
   params = init_params(model, jax.random.PRNGKey(0))
   interp = Interpolator(params, options, align=64)

@@ -71,20 +71,33 @@ def fold_weights(w: jnp.ndarray,
   kwp = o_max - o_min + 1
   pieces = tuple(piece_sizes) if piece_sizes else (cin,)
   assert sum(pieces) == cin, (pieces, cin)
-  wf = jnp.zeros((kh, kwp, 2 * cin, 2 * cout), w.dtype)
+  # Assemble by pure concat/stack (no scatter): scatter chains defeat
+  # XLA's loop-invariant hoisting inside lax.map/scan bodies, turning a
+  # parameter-only transform into per-iteration work.
+  blocks = {}
   in_off = 0
-  for piece in pieces:
+  for p_idx, piece in enumerate(pieces):
     for so in range(2):
       for ti, dx in enumerate(taps):
         t = so + dx
-        o = t // 2          # Python floor division: correct for t < 0.
-        si = t % 2
-        row0 = 2 * in_off + si * piece
-        col0 = so * cout
-        wf = wf.at[:, o - o_min, row0:row0 + piece, col0:col0 + cout].set(
+        blocks[(t // 2 - o_min, p_idx, t % 2, so)] = (
             w[:, ti, in_off:in_off + piece, :])
     in_off += piece
-  return wf
+  mats = []
+  for k in range(kwp):
+    rows = []
+    in_off = 0
+    for p_idx, piece in enumerate(pieces):
+      for si in range(2):
+        cols = [
+            blocks.get((k, p_idx, si, so),
+                       jnp.zeros((kh, piece, cout), w.dtype))
+            for so in range(2)
+        ]
+        rows.append(jnp.concatenate(cols, axis=-1))
+      in_off += piece
+    mats.append(jnp.concatenate(rows, axis=1))
+  return jnp.stack(mats, axis=1)
 
 
 def fold_bias(b: jnp.ndarray) -> jnp.ndarray:
