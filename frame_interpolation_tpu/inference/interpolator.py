@@ -50,6 +50,66 @@ def _u8_to_unit_f32(frames: jnp.ndarray) -> jnp.ndarray:
   return x * _U8_C_HI + x * _U8_C_LO
 
 
+def expand_tree_program(model, params, frames, times, max_batch, align,
+                        as_uint8, shard=None, batch_quantum=1):
+  """The whole-recursion-tree expansion, as a traceable program body.
+
+  Expands (N, H, W, 3) f32 `frames` to ((N-1)*2^T + 1, ...) midpoints in
+  time order: every depth's pairs run as fixed-size lax.map forward
+  chunks, so one jit of this body is one device dispatch for the whole
+  tree (see Interpolator.expand_tree_device).
+
+  shard/batch_quantum: multi-chip hooks (parallel/inference.py). `shard`
+  is applied to each per-chunk batch (inputs and midpoints) — e.g. a
+  jax.lax.with_sharding_constraint over the mesh's batch axis — and
+  chunk sizes are rounded up to `batch_quantum` (the device count) so
+  every forward batch divides evenly across the mesh.
+  """
+  shard = shard if shard is not None else (lambda x: x)
+
+  def forward(x0, x1):
+    x0, x1 = shard(x0), shard(x1)
+    time = jnp.full((x0.shape[0], 1), 0.5, jnp.float32)
+    if align is not None:
+      x0p, bbox = tiling.pad_to_align(x0, align)
+      x1p, _ = tiling.pad_to_align(x1, align)
+    else:
+      x0p, x1p, bbox = x0, x1, None
+    image = model.apply({'params': params}, x0p, x1p, time)['image']
+    if bbox is not None:
+      image = tiling.crop_to_bounding_box(image, **bbox)
+    return shard(image.astype(frames.dtype))
+
+  q = batch_quantum
+  seq = frames
+  for _ in range(times):
+    n = seq.shape[0] - 1
+    chunk = min(max(max_batch, q), -(-n // q) * q)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    x0 = seq[:-1]
+    x1 = seq[1:]
+    if pad:
+      filler = jnp.broadcast_to(seq[:1], (pad,) + seq.shape[1:])
+      x0 = jnp.concatenate([x0, filler])
+      x1 = jnp.concatenate([x1, filler])
+    shape = (n_chunks, chunk) + seq.shape[1:]
+    mids = jax.lax.map(lambda ab: forward(ab[0], ab[1]),
+                       (x0.reshape(shape), x1.reshape(shape)))
+    mids = mids.reshape((n_chunks * chunk,) + seq.shape[1:])[:n]
+    merged = jnp.stack([seq[:-1], mids], axis=1)
+    merged = merged.reshape((2 * n,) + seq.shape[1:])
+    seq = jnp.concatenate([merged, seq[-1:]])
+  if as_uint8:
+    # The io.images.to_uint8 rule (clip, *255, round half up), applied
+    # in-jit: the PNG/mp4 writers consume uint8, and fetching uint8
+    # quarters the D2H volume — material on tunneled TPU hosts where
+    # the fetch, not the compute, bounds video throughput.
+    seq = (jnp.clip(seq.astype(jnp.float32) * 255.0, 0.0, 255.0)
+           + 0.5).astype(jnp.uint8)
+  return seq
+
+
 class Interpolator:
   """Generates the frame between two frames with the film_net model.
 
@@ -153,45 +213,8 @@ class Interpolator:
     # chunk of the video costs one dispatch and one fetch.
     @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
     def _expand_tree(params, frames, times, max_batch, align, as_uint8):
-      def forward(x0, x1):
-        time = jnp.full((x0.shape[0], 1), 0.5, jnp.float32)
-        if align is not None:
-          x0p, bbox = tiling.pad_to_align(x0, align)
-          x1p, _ = tiling.pad_to_align(x1, align)
-        else:
-          x0p, x1p, bbox = x0, x1, None
-        image = model.apply({'params': params}, x0p, x1p, time)['image']
-        if bbox is not None:
-          image = tiling.crop_to_bounding_box(image, **bbox)
-        return image.astype(frames.dtype)
-
-      seq = frames
-      for _ in range(times):
-        n = seq.shape[0] - 1
-        chunk = min(max_batch, n)
-        n_chunks = -(-n // chunk)
-        pad = n_chunks * chunk - n
-        x0 = seq[:-1]
-        x1 = seq[1:]
-        if pad:
-          filler = jnp.broadcast_to(seq[:1], (pad,) + seq.shape[1:])
-          x0 = jnp.concatenate([x0, filler])
-          x1 = jnp.concatenate([x1, filler])
-        shape = (n_chunks, chunk) + seq.shape[1:]
-        mids = jax.lax.map(lambda ab: forward(ab[0], ab[1]),
-                           (x0.reshape(shape), x1.reshape(shape)))
-        mids = mids.reshape((n_chunks * chunk,) + seq.shape[1:])[:n]
-        merged = jnp.stack([seq[:-1], mids], axis=1)
-        merged = merged.reshape((2 * n,) + seq.shape[1:])
-        seq = jnp.concatenate([merged, seq[-1:]])
-      if as_uint8:
-        # The io.images.to_uint8 rule (clip, *255, round half up), applied
-        # in-jit: the PNG/mp4 writers consume uint8, and fetching uint8
-        # quarters the D2H volume — material on tunneled TPU hosts where
-        # the fetch, not the compute, bounds video throughput.
-        seq = (jnp.clip(seq.astype(jnp.float32) * 255.0, 0.0, 255.0)
-               + 0.5).astype(jnp.uint8)
-      return seq
+      return expand_tree_program(model, params, frames, times, max_batch,
+                                 align, as_uint8)
 
     self._expand_tree = xla_options.aot_jit(_expand_tree, static_argnums=(2, 3, 4, 5))
 

@@ -48,3 +48,44 @@ def test_patch_count_not_multiple_of_mesh():
   single = Interpolator(params, OPTS, align=OPTS.align, block_shape=(3, 3))
   np.testing.assert_allclose(sharded(x0, x1, dt), single(x0, x1, dt),
                              atol=2e-6)
+
+
+def test_sharded_video_tree_matches_single_device():
+  # The mesh-sharded recursion tree must be byte-identical to the
+  # single-device expand_tree (same program, batches sharded).
+  rng = np.random.RandomState(2)
+  params = init_params(FilmNet(OPTS), jax.random.PRNGKey(0))
+  mesh = create_mesh(jax.devices())
+  from frame_interpolation_tpu.parallel.inference import (
+      ShardedVideoInterpolator)
+  h = w = OPTS.align * 2
+  frames = (rng.rand(3, h, w, 3) * 255).astype(np.uint8)
+  single = Interpolator(params, OPTS, align=OPTS.align)
+  sharded = ShardedVideoInterpolator(params, OPTS, mesh, align=OPTS.align)
+  want = np.asarray(single.expand_tree_device(frames, 3, max_batch=8,
+                                              as_uint8=True))
+  got = np.asarray(sharded.expand_tree_device(frames, 3, as_uint8=True))
+  assert got.shape == want.shape == (2 * 2**3 + 1, h, w, 3)
+  np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_video_drives_streaming_frontier():
+  # The sharded interpolator is a drop-in for the streaming video driver.
+  from frame_interpolation_tpu.inference import (
+      interpolate_frontier_streaming)
+  from frame_interpolation_tpu.parallel.inference import (
+      ShardedVideoInterpolator)
+  rng = np.random.RandomState(3)
+  params = init_params(FilmNet(OPTS), jax.random.PRNGKey(0))
+  mesh = create_mesh(jax.devices())
+  h = w = OPTS.align * 2
+  frames = [(rng.rand(h, w, 3) * 255).astype(np.uint8) for _ in range(3)]
+  single = Interpolator(params, OPTS, align=OPTS.align)
+  sharded = ShardedVideoInterpolator(params, OPTS, mesh, align=OPTS.align)
+  want = list(interpolate_frontier_streaming(frames, 2, single,
+                                             as_uint8=True))
+  got = list(interpolate_frontier_streaming(frames, 2, sharded,
+                                            as_uint8=True))
+  assert len(got) == len(want)
+  for a, b in zip(got, want):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
