@@ -161,3 +161,65 @@ class ShardedVideoInterpolator:
     max_batch = -(-max_batch // ndev) * ndev
     return self._expand_tree(self._params, frames, times_to_interpolate,
                              max_batch, self._align, as_uint8)
+
+
+class SpatialShardedInterpolator:
+  """One full frame interpolated across the mesh: H-dim (row) sharding.
+
+  Patch tiling (ShardedInterpolator) changes semantics at patch borders
+  exactly like the reference's block mode (eval/interpolator.py:192-206);
+  this class instead shards the ROWS of a single full-frame forward over
+  the mesh and lets XLA GSPMD insert the halo exchanges for convs, pools,
+  resizes, and warp gathers — the output is the full-frame result,
+  bit-comparable to one big chip. The warp must run the XLA gather
+  formulation (Pallas custom calls carry no SPMD partitioning rules), so
+  construction overrides warp_impl='gather'.
+
+  This is the multi-chip latency play: throughput scales with chips via
+  batch/patch/video sharding; spatial sharding is how a SINGLE frame's
+  latency drops on a v5e slice, with collectives riding ICI.
+  """
+
+  def __init__(self, params: Any, options: Options, mesh,
+               align: Optional[int] = 64):
+    import dataclasses
+
+    if options.warp_impl != 'gather':
+      options = dataclasses.replace(options, warp_impl='gather')
+    self._options = options
+    self._mesh = mesh
+    self._align = align
+    self._params = mesh_lib.replicate(params, mesh)
+    model = FilmNet(options)
+
+    replicated = mesh_lib.replicated(mesh)
+    import jax.sharding as shd
+    rows = shd.NamedSharding(mesh, shd.PartitionSpec(None, mesh_lib.DATA_AXIS))
+
+    @functools.partial(
+        jax.jit, static_argnums=(4,),
+        in_shardings=(replicated, rows, rows, replicated),
+        out_shardings=rows)
+    def _forward(params, x0, x1, time, align):
+      if align is not None:
+        x0, bbox = tiling.pad_to_align(x0, align)
+        x1, _ = tiling.pad_to_align(x1, align)
+      image = model.apply({'params': params}, x0, x1, time)['image']
+      if align is not None:
+        image = tiling.crop_to_bounding_box(image, **bbox)
+      return image
+
+    self._forward = _forward
+
+  @property
+  def num_devices(self) -> int:
+    return self._mesh.devices.size
+
+  def __call__(self, x0: np.ndarray, x1: np.ndarray,
+               dt: np.ndarray) -> np.ndarray:
+    """Interpolates one (1, H, W, 3) pair with rows sharded over the mesh."""
+    x0 = jnp.asarray(x0, jnp.float32)
+    x1 = jnp.asarray(x1, jnp.float32)
+    time = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+    return np.asarray(self._forward(self._params, x0, x1, time,
+                                    self._align))

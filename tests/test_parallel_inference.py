@@ -89,3 +89,27 @@ def test_sharded_video_drives_streaming_frontier():
   assert len(got) == len(want)
   for a, b in zip(got, want):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_sharded_matches_single_device():
+  # Row-sharded full-frame forward: GSPMD halo exchanges must reproduce
+  # the single-device full-frame output (NOT the patch-tiled one).
+  from frame_interpolation_tpu.parallel.inference import (
+      SpatialShardedInterpolator)
+  rng = np.random.RandomState(4)
+  params = init_params(FilmNet(OPTS), jax.random.PRNGKey(0))
+  mesh = create_mesh(jax.devices())
+  h = OPTS.align * 16  # 16 align rows over 8 devices
+  w = OPTS.align * 2
+  x0 = rng.rand(1, h, w, 3).astype(np.float32)
+  x1 = rng.rand(1, h, w, 3).astype(np.float32)
+  dt = np.array([0.5], np.float32)
+  import dataclasses
+  opts = dataclasses.replace(OPTS, warp_impl='gather')
+  sharded = SpatialShardedInterpolator(params, opts, mesh,
+                                       align=OPTS.align)
+  single = Interpolator(params, opts, align=OPTS.align)
+  out_sharded = sharded(x0, x1, dt)
+  out_single = single(x0, x1, dt)
+  assert out_sharded.shape == (1, h, w, 3)
+  np.testing.assert_allclose(out_sharded, out_single, atol=2e-6)
