@@ -208,3 +208,31 @@ class TestWindowWarpVjp:
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_x),
                                atol=1e-5)
+
+
+class TestDerivPlaneFlowCotangent:
+
+  def test_custom_vjp_matches_raw_autodiff(self):
+    # backward_warp's flow cotangent is a multiply-reduce over derivative
+    # planes saved by the forward (jax.linearize residuals); pin both
+    # cotangents against XLA's plain autodiff of the un-customized gather
+    # formulation, including clamped (out-of-bounds) queries where the
+    # derivative is zero.
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(2, 12, 20, 3), jnp.float32)
+    flow = jnp.asarray((rng.rand(2, 12, 20, 2) - 0.5) * 30, jnp.float32)
+
+    def loss_custom(img, flow):
+      out = warp.backward_warp(img, flow)
+      return jnp.sum(out * jnp.cos(out))
+
+    def loss_raw(img, flow):
+      out = warp._backward_warp_raw(img, flow)
+      return jnp.sum(out * jnp.cos(out))
+
+    gi_c, gf_c = jax.grad(loss_custom, argnums=(0, 1))(img, flow)
+    gi_r, gf_r = jax.grad(loss_raw, argnums=(0, 1))(img, flow)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gi_c), np.asarray(gi_r),
+                               rtol=1e-5, atol=1e-5)
