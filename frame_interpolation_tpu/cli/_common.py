@@ -2,6 +2,40 @@
 from __future__ import annotations
 
 
+class _ModuleDefaultHolder:
+  """Flag holder that keeps ITS OWN default for a name another CLI defined.
+
+  Same-named flags across CLIs sometimes carry different defaults (e.g.
+  the tfrecord builders' --num_shards output-shard counts of 2/3/200 vs
+  interpolate_dir's fleet-shard default of 1). With a plain shared
+  holder, import order would silently give one module another module's
+  default. This holder returns the parsed value only when the user
+  actually set the flag (command line or programmatic assignment);
+  otherwise it returns the default the CLI module asked for.
+  """
+
+  def __init__(self, name, default):
+    self._name = name
+    self._default = default
+
+  @property
+  def name(self):
+    return self._name
+
+  @property
+  def default(self):
+    return self._default
+
+  @property
+  def value(self):
+    from absl import flags
+    flag = flags.FLAGS[self._name]
+    # `present` covers command-line parsing; `using_default_value` covers
+    # programmatic FLAGS.name = x assignment (e.g. flagsaver in tests).
+    user_set = flag.present > 0 or not flag.using_default_value
+    return flag.value if user_set else self._default
+
+
 def define_flag(define_fn, name, *args, **kwargs):
   """absl DEFINE_* that tolerates a prior definition of the same name.
 
@@ -9,15 +43,18 @@ def define_flag(define_fn, name, *args, **kwargs):
   process — e.g. /root/reference/eval/interpolator_cli.py vs eval_cli.py),
   but tests and notebooks import several of them into ONE interpreter,
   where absl's process-global flag registry raises DuplicateFlagError for
-  shared names like --model_path/--tfrecord. First definition wins; later
-  CLI modules get a holder for the existing flag (same semantics as two
-  processes each defining it).
+  shared names like --model_path/--tfrecord. First definition wins for
+  parsing; later CLI modules get a holder that preserves their OWN
+  default (same observable semantics as two processes each defining it),
+  so e.g. a tfrecord builder's --num_shards default can never leak into
+  interpolate_dir's fleet sharding.
   """
   from absl import flags
   try:
     return define_fn(name, *args, **kwargs)
   except flags.DuplicateFlagError:
-    return flags.FlagHolder(flags.FLAGS, flags.FLAGS[name])
+    default = args[0] if args else kwargs.get('default')
+    return _ModuleDefaultHolder(name, default)
 
 
 def apply_platform_flag(value) -> None:

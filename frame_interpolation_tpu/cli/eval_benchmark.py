@@ -85,6 +85,21 @@ def run_evaluation(interpolator, tfrecord: str, output_dir: str,
           prediction[name] = jnp.asarray(outputs[name])
       batch_y = jnp.asarray(example['y'])
 
+      # Frame dumps: convert each batch tensor to host numpy ONCE, not
+      # once per example inside the row loop.
+      dump_tensors = {}
+      if output_frames:
+        combined = dict(outputs)
+        combined.update(
+            {k: v for k, v in example.items() if not isinstance(v, list)})
+        for name, tensor in combined.items():
+          try:
+            tensor = np.asarray(tensor)
+          except ValueError:  # ragged non-image entries (e.g. path tuples)
+            continue
+          if tensor.ndim == 4 and tensor.shape[-1] in (1, 3):
+            dump_tensors[name] = tensor
+
       # One csv row PER EXAMPLE regardless of batch size: the device batch
       # only amortizes dispatch; metrics are per-example, matching the
       # reference's row format (eval_cli.py:160-170).
@@ -94,17 +109,9 @@ def run_evaluation(interpolator, tfrecord: str, output_dir: str,
         key = path.rsplit('.', 1)[0].rsplit(os.sep)[-1] if path else (
             f'example_{sum(len(v) for v in all_losses.values()):05d}')
 
-        if output_frames:
-          combined = dict(outputs)
-          combined.update(
-              {k: v for k, v in example.items() if not isinstance(v, list)})
-          for name, tensor in combined.items():
-            tensor = (np.asarray(tensor)
-                      if not isinstance(tensor, list) else None)
-            if (tensor is not None and tensor.ndim == 4 and
-                tensor.shape[-1] in (1, 3)):
-              images.write_image(
-                  os.path.join(output_dir, f'{key}_{name}.png'), tensor[i])
+        for name, tensor in dump_tensors.items():
+          images.write_image(
+              os.path.join(output_dir, f'{key}_{name}.png'), tensor[i])
 
         prediction_i = {k: v[i:i + 1] for k, v in prediction.items()}
         metric_example = {'y': batch_y[i:i + 1]}

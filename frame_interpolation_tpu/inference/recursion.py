@@ -30,6 +30,12 @@ from .interpolator import Interpolator
 ProgressFn = Callable[[int], None]
 
 
+def _host_f32(f) -> np.ndarray:
+  """Host-side image normalization: uint8 -> f32/255, floats unchanged."""
+  f = np.asarray(f)
+  return f.astype(np.float32) / 255.0 if f.dtype == np.uint8 else f
+
+
 def _recursive_generator(
     frame1: np.ndarray, frame2: np.ndarray, num_recursions: int,
     interpolator: Interpolator,
@@ -288,8 +294,15 @@ def interpolate_frontier_streaming(
   # sustained video throughput; depth 2 additionally hides fetches that
   # outlast a single chunk's compute.
   def dispatch(chunk):
-    # np.stack preserves uint8 inputs; expand_tree_device converts in-jit.
-    stacked = np.stack([np.asarray(f) for f in chunk])
+    # All-uint8 chunks ride the uint8 H2D path (expand_tree_device
+    # converts in-jit); MIXED dtypes must normalize on host first —
+    # np.stack would silently promote uint8 frames at 0-255 scale into
+    # the f32 tree.
+    arrays = [np.asarray(f) for f in chunk]
+    if all(a.dtype == np.uint8 for a in arrays):
+      stacked = np.stack(arrays)
+    else:
+      stacked = np.stack([_host_f32(a) for a in arrays])
     return interpolator.expand_tree_device(
         stacked, times_to_interpolate, max_batch=max_batch,
         as_uint8=as_uint8)
@@ -343,9 +356,7 @@ def interpolate_frontier(
   Returns:
     The full time-ordered frame list, (n-1) * 2^T + 1 frames.
   """
-  def host_f32(f):
-    f = np.asarray(f)
-    return f.astype(np.float32) / 255.0 if f.dtype == np.uint8 else f
+  host_f32 = _host_f32
 
   if len(frames) < 2 or times_to_interpolate <= 0:
     from ..io import images

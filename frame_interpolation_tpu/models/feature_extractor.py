@@ -59,10 +59,8 @@ class SubTreeExtractor(nn.Module):
     self.convs = convs
 
   def _fold(self, head: jnp.ndarray, features: int) -> bool:
-    mode = self.options.fold_convs
-    if mode == 'off' or 2 * features > 128 or head.shape[-2] % 2:
-      return False
-    return mode == 'on' or head.shape[-2] >= 256
+    return folded_conv.should_fold(self.options.fold_convs, features,
+                                   head.shape)
 
   def __call__(self, image: jnp.ndarray, n: int) -> List[jnp.ndarray]:
     """Extracts `n` pyramid levels of features from `image` (finest first)."""

@@ -117,10 +117,9 @@ class FilmNet(nn.Module):
     # concat is built from separately folded pieces so each fold fuses
     # into its producer, and the fusion decoder's finest conv stack runs
     # lane-exact. Identical math (tests/test_folded_conv.py).
-    mode = config.fold_convs
-    w0 = forward_warped_pyramid[0].shape[-2]
-    if (mode != 'off' and 2 * config.filters <= 128 and w0 % 2 == 0
-        and (mode == 'on' or w0 >= 256)):
+    if folded_conv.should_fold(config.fold_convs, config.filters,
+                               forward_warped_pyramid[0].shape,
+                               even_height=True):
       aligned_pyramid[0] = folded_conv.fold_pieces([
           forward_warped_pyramid[0],
           backward_warped_pyramid[0],

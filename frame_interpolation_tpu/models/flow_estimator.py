@@ -62,10 +62,8 @@ class FlowEstimator(nn.Module):
     self.convs = convs
 
   def _fold(self, x: jnp.ndarray) -> bool:
-    mode = self.options.fold_convs
-    if mode == 'off' or 2 * self.num_filters > 128 or x.shape[-2] % 2:
-      return False
-    return mode == 'on' or x.shape[-2] >= 256
+    return folded_conv.should_fold(self.options.fold_convs,
+                                   self.num_filters, x.shape)
 
   def __call__(self, features_a: jnp.ndarray,
                features_b: jnp.ndarray) -> jnp.ndarray:

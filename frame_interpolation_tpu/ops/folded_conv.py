@@ -151,9 +151,27 @@ class FoldableConv(nn.Module):
     return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
 
 
-def fold_ok(x: jnp.ndarray, min_width: int = 256) -> bool:
-  """Whether folding pays for this (static) shape: even W, big enough."""
-  return x.shape[-2] % 2 == 0 and x.shape[-2] >= min_width
+def should_fold(mode: str, features: int, shape,
+                even_height: bool = False, min_width: int = 256) -> bool:
+  """The single fold gate shared by every folding call site.
+
+  `mode` is options.fold_convs ('off'/'on'/'auto'); `features` the conv
+  stack's output channels (folded lanes are 2x that and must fit one
+  128-lane register); `shape` the candidate tensor's (static) shape.
+  Folding needs an even W. `even_height=True` additionally requires an
+  even H — the fusion decoder's folded finest level assumes its coarser
+  neighbor is EXACTLY 2x smaller in both axes, which ceil-halving pyramid
+  construction only guarantees for even extents (odd-H inputs previously
+  tripped fusion's 2x assert under mode 'auto'). In 'auto', folding only
+  engages at W >= min_width, where the lane-padding win beats the fold
+  relayout.
+  """
+  h, w = shape[-3], shape[-2]
+  if mode == 'off' or 2 * features > 128 or w % 2:
+    return False
+  if even_height and h % 2:
+    return False
+  return mode == 'on' or w >= min_width
 
 
 class Folded(NamedTuple):

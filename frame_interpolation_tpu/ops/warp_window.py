@@ -84,7 +84,8 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       halves the dominant HBM traffic of this kernel (PERF.md round 3:
       the chip streams at ~139 GB/s, and windows overfetch ~6x the
       output bytes).
-    winf_ref: (cb, 24, 128) f32 scratch — the current window expanded
+    winf_ref: (cb, 24, 128) f32 scratch (None for f32 planes, which read
+      straight from the window slot) — the current window expanded
       once after its DMA lands. Mosaic rejects DYNAMIC sublane-start
       loads on sublane-packed bf16 VMEM (probe_mosaic), so the per-shift
       unaligned 8-row loads read this f32 copy; bf16->f32 is exact, so
@@ -302,8 +303,17 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
   planes = planes.reshape(bsz * cp, hp + 40, wp)
 
   n_sp = n_ty * n_tx
-  kernel = functools.partial(_warp_window_kernel, cb=cb, cp=cp, n_sp=n_sp,
-                             n_tx=n_tx)
+  needs_expand = plane_dtype != jnp.float32
+  if needs_expand:
+    kernel = functools.partial(_warp_window_kernel, cb=cb, cp=cp,
+                               n_sp=n_sp, n_tx=n_tx)
+  else:
+    # f32 planes read straight from the window slot; don't reserve the
+    # (cb, _WIN_H, _WIN_W) f32 expansion scratch the kernel would never
+    # touch (it costs VMEM headroom the triple-buffered windows rely on).
+    def kernel(by, bx, iy, ix, ay, ax, planes, out, win, acc, sem):
+      _warp_window_kernel(by, bx, iy, ix, ay, ax, planes, out, win, None,
+                          acc, sem, cb=cb, cp=cp, n_sp=n_sp, n_tx=n_tx)
   idx_spec = pl.BlockSpec((1, _TH, _TW),
                           lambda b, ci, ty, tx, *refs: (b, ty, tx))
   grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -313,12 +323,12 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
                 pl.BlockSpec(memory_space=pl.ANY)],
       out_specs=pl.BlockSpec((1, cb, _TH, _TW),
                              lambda b, ci, ty, tx, *refs: (b, ci, ty, tx)),
-      scratch_shapes=[
-          pltpu.VMEM((3, cb, _WIN_H, _WIN_W), plane_dtype),
-          pltpu.VMEM((cb, _WIN_H, _WIN_W), jnp.float32),
-          pltpu.VMEM((cb, _TH, _TW), jnp.float32),
-          pltpu.SemaphoreType.DMA((3,)),
-      ])
+      scratch_shapes=(
+          [pltpu.VMEM((3, cb, _WIN_H, _WIN_W), plane_dtype)] +
+          ([pltpu.VMEM((cb, _WIN_H, _WIN_W), jnp.float32)]
+           if needs_expand else []) +
+          [pltpu.VMEM((cb, _TH, _TW), jnp.float32),
+           pltpu.SemaphoreType.DMA((3,))]))
   out = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,

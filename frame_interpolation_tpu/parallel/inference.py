@@ -25,6 +25,22 @@ from ..options import Options
 from . import mesh as mesh_lib
 
 
+def _gather_warp(options: Options) -> Options:
+  """Forces the XLA gather warp for mesh-sharded forwards.
+
+  The Pallas window-warp custom call carries no SPMD partitioning rules,
+  so GSPMD cannot split it over sharded operands — under warp_impl
+  'auto'/'window' a sharded forward would fail to partition (or force a
+  replicating all-gather) on a real TPU mesh. The gather formulation is
+  plain XLA and partitions cleanly. (Running the window kernel per-shard
+  via shard_map is the future upgrade path.)
+  """
+  import dataclasses
+  if options.warp_impl != 'gather':
+    options = dataclasses.replace(options, warp_impl='gather')
+  return options
+
+
 class ShardedInterpolator:
   """Patch-tiled interpolation with patches sharded over a mesh.
 
@@ -37,6 +53,7 @@ class ShardedInterpolator:
   def __init__(self, params: Any, options: Options, mesh,
                block_shape: Sequence[int],
                align: Optional[int] = 64):
+    options = _gather_warp(options)
     self._options = options
     self._mesh = mesh
     self._block_shape = tuple(block_shape)
@@ -116,6 +133,7 @@ class ShardedVideoInterpolator:
 
     self._mesh = mesh
     self._align = align
+    options = _gather_warp(options)
     self._options = options
     self._params = mesh_lib.replicate(params, mesh)
     ndev = mesh.devices.size
@@ -182,10 +200,7 @@ class SpatialShardedInterpolator:
 
   def __init__(self, params: Any, options: Options, mesh,
                align: Optional[int] = 64):
-    import dataclasses
-
-    if options.warp_impl != 'gather':
-      options = dataclasses.replace(options, warp_impl='gather')
+    options = _gather_warp(options)
     self._options = options
     self._mesh = mesh
     self._align = align

@@ -125,3 +125,24 @@ def test_released_auto_gate_shapes():
   t = jnp.asarray(np.full((1, 1), 0.5, np.float32))
   out = model.apply({'params': params}, x0, x0, t)['image']
   assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_model_fold_auto_odd_height():
+  # Regression: fold 'auto' (the default) previously gated only on width
+  # parity, so an odd-H, W>=256 input folded the finest fusion level and
+  # tripped the decoder's exact-2x assert. The gate (should_fold
+  # even_height=True at the film_net site) must decline to fold and
+  # produce the same output as fold 'off'.
+  opts_auto = Options.tiny(fold_convs='auto')
+  opts_off = Options.tiny(fold_convs='off')
+  model_auto = FilmNet(opts_auto)
+  model_off = FilmNet(opts_off)
+  params = init_params(model_off, jax.random.PRNGKey(0))
+  rng = np.random.RandomState(3)
+  x0 = jnp.asarray(rng.rand(1, 65, 256, 3).astype(np.float32))
+  x1 = jnp.asarray(rng.rand(1, 65, 256, 3).astype(np.float32))
+  t = jnp.asarray(np.full((1, 1), 0.5, np.float32))
+  out_auto = model_auto.apply({'params': params}, x0, x1, t)['image']
+  out_off = model_off.apply({'params': params}, x0, x1, t)['image']
+  np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_off),
+                             rtol=1e-5, atol=1e-5)

@@ -88,6 +88,24 @@ class TestRecursion:
     for i, (a, b) in enumerate(zip(full, streamed)):
       np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f'frame {i}')
 
+  def test_streaming_frontier_mixed_uint8_f32(self, interp):
+    # Regression: a chunk mixing uint8 and f32 frames must normalize the
+    # uint8 ones on host — np.stack used to promote them into the f32
+    # tree at 0-255 scale (output frames 255x too bright).
+    frames = _frames(3, seed=9)
+    mixed = [np.round(frames[0] * 255.0).astype(np.uint8),
+             frames[1],
+             np.round(frames[2] * 255.0).astype(np.uint8)]
+    normalized = [f.astype(np.float32) / 255.0 if f.dtype == np.uint8
+                  else f for f in mixed]
+    want = interpolate_frontier(normalized, 1, interp, max_batch=3)
+    got = list(interpolate_frontier_streaming(
+        mixed, 1, interp, max_batch=3, pairs_per_chunk=2))
+    assert len(got) == len(want)
+    assert max(float(np.max(f)) for f in got) < 2.0
+    for i, (a, b) in enumerate(zip(want, got)):
+      np.testing.assert_allclose(a, b, atol=2e-6, err_msg=f'frame {i}')
+
   def test_streaming_frontier_loads_paths_lazily(self, interp, tmp_path):
     frames = _frames(3, seed=7)
     paths = []
