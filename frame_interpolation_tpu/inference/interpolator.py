@@ -51,7 +51,8 @@ def _u8_to_unit_f32(frames: jnp.ndarray) -> jnp.ndarray:
 
 
 def expand_tree_program(model, params, frames, times, max_batch, align,
-                        as_uint8, shard=None, batch_quantum=1):
+                        as_uint8, shard=None, batch_quantum=1,
+                        wrap_forward=None):
   """The whole-recursion-tree expansion, as a traceable program body.
 
   Expands (N, H, W, 3) f32 `frames` to ((N-1)*2^T + 1, ...) midpoints in
@@ -59,11 +60,14 @@ def expand_tree_program(model, params, frames, times, max_batch, align,
   chunks, so one jit of this body is one device dispatch for the whole
   tree (see Interpolator.expand_tree_device).
 
-  shard/batch_quantum: multi-chip hooks (parallel/inference.py). `shard`
-  is applied to each per-chunk batch (inputs and midpoints) — e.g. a
-  jax.lax.with_sharding_constraint over the mesh's batch axis — and
-  chunk sizes are rounded up to `batch_quantum` (the device count) so
-  every forward batch divides evenly across the mesh.
+  shard/batch_quantum/wrap_forward: multi-chip hooks
+  (parallel/inference.py). `shard` is applied to each per-chunk batch
+  (inputs and midpoints) — e.g. a jax.lax.with_sharding_constraint over
+  the mesh's batch axis; `wrap_forward` instead wraps the whole
+  per-chunk forward (e.g. in jax.shard_map, so Pallas kernels run
+  per-device on the local sub-batch); chunk sizes are rounded up to
+  `batch_quantum` (the device count) so every forward batch divides
+  evenly across the mesh.
   """
   shard = shard if shard is not None else (lambda x: x)
 
@@ -79,6 +83,9 @@ def expand_tree_program(model, params, frames, times, max_batch, align,
     if bbox is not None:
       image = tiling.crop_to_bounding_box(image, **bbox)
     return shard(image.astype(frames.dtype))
+
+  if wrap_forward is not None:
+    forward = wrap_forward(forward)
 
   q = batch_quantum
   seq = frames

@@ -26,19 +26,39 @@ from . import mesh as mesh_lib
 
 
 def _gather_warp(options: Options) -> Options:
-  """Forces the XLA gather warp for mesh-sharded forwards.
+  """Forces the XLA gather warp for GSPMD-partitioned forwards.
 
   The Pallas window-warp custom call carries no SPMD partitioning rules,
-  so GSPMD cannot split it over sharded operands — under warp_impl
-  'auto'/'window' a sharded forward would fail to partition (or force a
-  replicating all-gather) on a real TPU mesh. The gather formulation is
-  plain XLA and partitions cleanly. (Running the window kernel per-shard
-  via shard_map is the future upgrade path.)
+  so GSPMD cannot split it over operands that are sharded WITHIN one
+  logical forward — the spatially-sharded (row-split) interpolator must
+  run the plain-XLA gather formulation, which partitions cleanly. The
+  batch-sharded classes don't need this: they wrap the whole per-shard
+  forward in jax.shard_map, so every device runs an unsharded forward on
+  its local batch and the window kernel stays available (see
+  `_shard_mapped`).
   """
   import dataclasses
   if options.warp_impl != 'gather':
     options = dataclasses.replace(options, warp_impl='gather')
   return options
+
+
+def _shard_mapped(fn, mesh, n_array_args: int):
+  """Runs `fn` per-device on the local batch shard via jax.shard_map.
+
+  `fn`'s first `n_array_args` arguments are batch-major arrays sharded on
+  axis 0 over the mesh's data axis; anything else (params) rides in via
+  closure, which shard_map treats as replicated. Because each device
+  traces a plain unsharded forward, Pallas kernels (the window warp)
+  work as-is — no SPMD partitioning rules needed; `check_vma=False`
+  because pallas_call outputs carry no varying-mesh-axes annotation.
+  """
+  import jax.sharding as shd
+  spec = shd.PartitionSpec(mesh_lib.DATA_AXIS)
+  return jax.shard_map(
+      fn, mesh=mesh,
+      in_specs=(spec,) * n_array_args,
+      out_specs=spec, check_vma=False)
 
 
 class ShardedInterpolator:
@@ -53,7 +73,6 @@ class ShardedInterpolator:
   def __init__(self, params: Any, options: Options, mesh,
                block_shape: Sequence[int],
                align: Optional[int] = 64):
-    options = _gather_warp(options)
     self._options = options
     self._mesh = mesh
     self._block_shape = tuple(block_shape)
@@ -64,19 +83,28 @@ class ShardedInterpolator:
     replicated = mesh_lib.replicated(mesh)
     sharded = mesh_lib.batch_sharded(mesh)
 
+    # The per-shard forward runs under shard_map: each device sees its
+    # local patch sub-batch as a plain unsharded array, so the Pallas
+    # window warp (options.warp_impl 'auto'/'window') runs per-device —
+    # no gather fallback, no GSPMD partitioning of the custom call.
     @functools.partial(
         jax.jit,
         static_argnums=(4,),
         in_shardings=(replicated, sharded, sharded, sharded),
         out_shardings=sharded)
     def _forward(params, x0, x1, time, align):
-      if align is not None:
-        x0, bbox = tiling.pad_to_align(x0, align)
-        x1, _ = tiling.pad_to_align(x1, align)
-      image = model.apply({'params': params}, x0, x1, time)['image']
-      if align is not None:
-        image = tiling.crop_to_bounding_box(image, **bbox)
-      return image
+      def per_shard(x0, x1, time):
+        if align is not None:
+          x0p, bbox = tiling.pad_to_align(x0, align)
+          x1p, _ = tiling.pad_to_align(x1, align)
+        else:
+          x0p, x1p, bbox = x0, x1, None
+        image = model.apply({'params': params}, x0p, x1p, time)['image']
+        if bbox is not None:
+          image = tiling.crop_to_bounding_box(image, **bbox)
+        return image
+
+      return _shard_mapped(per_shard, mesh, 3)(x0, x1, time)
 
     self._forward = _forward
 
@@ -133,7 +161,6 @@ class ShardedVideoInterpolator:
 
     self._mesh = mesh
     self._align = align
-    options = _gather_warp(options)
     self._options = options
     self._params = mesh_lib.replicate(params, mesh)
     ndev = mesh.devices.size
@@ -141,10 +168,13 @@ class ShardedVideoInterpolator:
     model = FilmNet(options)
 
     replicated = mesh_lib.replicated(mesh)
-    sharded = mesh_lib.batch_sharded(mesh)
 
-    def shard(x):
-      return jax.lax.with_sharding_constraint(x, sharded)
+    # Each depth's forward chunk runs under shard_map: every device
+    # traces a plain unsharded forward over its local tree nodes, so the
+    # Pallas window warp stays available (no gather fallback); the
+    # replicated tree is split on entry and all-gathered on exit by XLA.
+    def wrap_forward(forward):
+      return lambda x0, x1: _shard_mapped(forward, mesh, 2)(x0, x1)
 
     @functools.partial(
         jax.jit, static_argnums=(2, 3, 4, 5),
@@ -153,7 +183,7 @@ class ShardedVideoInterpolator:
     def _expand_tree(params, frames, times, max_batch, align, as_uint8):
       return interp_lib.expand_tree_program(
           model, params, frames, times, max_batch, align, as_uint8,
-          shard=shard, batch_quantum=ndev)
+          batch_quantum=ndev, wrap_forward=wrap_forward)
 
     self._expand_tree = _expand_tree
     self._block_shape = None  # frontier-driver compatibility

@@ -113,3 +113,28 @@ def test_spatial_sharded_matches_single_device():
   out_single = single(x0, x1, dt)
   assert out_sharded.shape == (1, h, w, 3)
   np.testing.assert_allclose(out_sharded, out_single, atol=2e-6)
+
+
+def test_window_warp_kernel_runs_inside_shard_map():
+  # The batch-sharded classes keep the Pallas window warp by running the
+  # per-shard forward under jax.shard_map (no GSPMD partitioning of the
+  # custom call). Pin the integration directly: the kernel (interpret
+  # mode on CPU) inside shard_map over the 8-device mesh must match the
+  # XLA gather warp on the full batch.
+  import jax.numpy as jnp
+  from jax.sharding import PartitionSpec as P
+  from frame_interpolation_tpu.ops import warp, warp_window
+  from frame_interpolation_tpu.parallel.inference import _shard_mapped
+
+  rng = np.random.RandomState(5)
+  mesh = create_mesh(jax.devices())
+  img = rng.rand(8, 16, 24, 3).astype(np.float32)
+  flow = ((rng.rand(8, 16, 24, 2) - 0.5) * 6.0).astype(np.float32)
+
+  def per_shard(img, flow):
+    return warp_window.backward_warp_window(img, flow, True)
+
+  got = jax.jit(_shard_mapped(per_shard, mesh, 2))(
+      jnp.asarray(img), jnp.asarray(flow))
+  want = warp.backward_warp(jnp.asarray(img), jnp.asarray(flow))
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
