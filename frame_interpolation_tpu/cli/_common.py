@@ -98,3 +98,65 @@ def load_interpolator_from_flag(params_flag: str, align, block_shape,
     interp = Interpolator(interp.params, options, align=align,
                           block_shape=block_shape)
   return interp
+
+
+def to_mesh_interpolator(interpolator, mode, align, block_shape=None,
+                         kind='pair'):
+  """Wraps a loaded Interpolator in a mesh-sharded class (parallel/).
+
+  The reference is single-device at inference (eval/interpolator.py runs
+  one SavedModel call at a time); on a TPU slice the same CLIs scale over
+  every visible chip via a 1-D jax.sharding.Mesh.
+
+  Args:
+    interpolator: the single-device `Interpolator` (supplies params and
+      options; its compiled programs are never touched).
+    mode: 'none'/None (return `interpolator` unchanged), 'data' (patch
+      batches / recursion-tree nodes sharded over the mesh — throughput),
+      or 'spatial' (rows of one full-frame forward sharded over the mesh
+      with GSPMD halo exchanges — single-frame latency; kind='pair' only).
+    align: pad-to-align passed through to the sharded class.
+    block_shape: (bh, bw) patch grid for kind='pair' data mode.
+    kind: 'pair' (ShardedInterpolator / SpatialShardedInterpolator) or
+      'video' (ShardedVideoInterpolator, the frontier-driver drop-in).
+
+  Falls back to the plain interpolator (with a log) on a 1-device host,
+  so `--mesh data` is safe in single-chip and CPU-debug runs.
+  """
+  if not mode or mode == 'none':
+    return interpolator
+  import jax
+  from absl import logging
+
+  from ..parallel import mesh as mesh_lib
+  if len(jax.devices()) == 1:
+    logging.info('--mesh %s requested but only one device is visible; '
+                 'running single-device.', mode)
+    return interpolator
+  from ..parallel.inference import (ShardedInterpolator,
+                                    ShardedVideoInterpolator,
+                                    SpatialShardedInterpolator)
+  mesh = mesh_lib.create_mesh(jax.devices())
+  if kind == 'video':
+    if mode != 'data':
+      raise ValueError(
+          "directory/video interpolation shards the recursion tree; only "
+          "--mesh data applies (got %r)." % mode)
+    return ShardedVideoInterpolator(interpolator.params,
+                                    interpolator.options, mesh, align=align)
+  if mode == 'spatial':
+    return SpatialShardedInterpolator(interpolator.params,
+                                      interpolator.options, mesh,
+                                      align=align)
+  if mode == 'data':
+    block_shape = tuple(block_shape or (1, 1))
+    import numpy as np
+    if int(np.prod(block_shape)) < mesh.devices.size:
+      logging.warning(
+          '--mesh data shards the %s patch grid over %d devices; pass '
+          '--block_height/--block_width so patches cover the mesh '
+          '(excess devices idle on padded patches).',
+          block_shape, mesh.devices.size)
+    return ShardedInterpolator(interpolator.params, interpolator.options,
+                               mesh, block_shape=block_shape, align=align)
+  raise ValueError('Unknown --mesh mode: %r' % (mode,))

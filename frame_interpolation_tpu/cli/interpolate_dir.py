@@ -83,6 +83,12 @@ _FOLD_CONVS = define_flag(flags.DEFINE_enum,
     'fold_convs', None, ['auto', 'on', 'off'],
     'W-folded execution of sub-128-lane conv stacks (ops/folded_conv.py). '
     'Numerically equivalent; default uses the bundle/auto setting.')
+_MESH = define_flag(flags.DEFINE_enum,
+    'mesh', 'none', ['none', 'data'],
+    'Multi-chip execution over all visible devices: shards each recursion-'
+    'tree chunk over the mesh (parallel.ShardedVideoInterpolator) with '
+    'zero cross-chip traffic. Frontier mode only; outputs match '
+    'single-device.')
 
 _INPUT_EXT = ('png', 'jpg', 'jpeg')
 
@@ -144,6 +150,16 @@ def process_directory(directory: str, interpolator) -> None:
 
 def main(argv):
   del argv
+  if _MESH.value != 'none':
+    if _STREAMING.value:
+      raise app.UsageError(
+          '--mesh data shards frontier-recursion chunks; it does not apply '
+          'to the in-order --streaming generator.')
+    if _BLOCK_HEIGHT.value * _BLOCK_WIDTH.value > 1:
+      raise app.UsageError(
+          '--mesh data shards whole recursion-tree nodes; combine with '
+          '--block_height/--block_width via interpolate_pair --mesh data '
+          'instead.')
   apply_platform_flag(_PLATFORM.value)
   directories = sorted(d for d in glob.glob(_PATTERN.value)
                        if os.path.isdir(d))
@@ -159,6 +175,9 @@ def main(argv):
       _PARAMS.value, _ALIGN.value,
       [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value],
       warp_impl=_WARP_IMPL.value, fold_convs=_FOLD_CONVS.value)
+  from ._common import to_mesh_interpolator
+  interpolator = to_mesh_interpolator(interpolator, _MESH.value,
+                                      _ALIGN.value, kind='video')
   for directory in directories:
     process_directory(directory, interpolator)
 

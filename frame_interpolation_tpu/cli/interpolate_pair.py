@@ -58,16 +58,26 @@ _FOLD_CONVS = define_flag(flags.DEFINE_enum,
     'fold_convs', None, ['auto', 'on', 'off'],
     'W-folded execution of sub-128-lane conv stacks (ops/folded_conv.py). '
     'Numerically equivalent; default uses the bundle/auto setting.')
+_MESH = define_flag(flags.DEFINE_enum,
+    'mesh', 'none', ['none', 'data', 'spatial'],
+    'Multi-chip execution over all visible devices (parallel/inference.py): '
+    "'data' shards the --block_height x --block_width patch grid over the "
+    "mesh; 'spatial' row-shards ONE full-frame forward (GSPMD halo "
+    'exchanges) for single-frame latency. Outputs match single-device.')
 
 
 def main(argv):
   del argv
   apply_platform_flag(_PLATFORM.value)
   from ..io import images
+  from ._common import to_mesh_interpolator
   interpolator = load_interpolator_from_flag(
       _PARAMS.value, _ALIGN.value,
       [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value], _DTYPE.value,
       warp_impl=_WARP_IMPL.value, fold_convs=_FOLD_CONVS.value)
+  interpolator = to_mesh_interpolator(
+      interpolator, _MESH.value, _ALIGN.value,
+      block_shape=(_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value), kind='pair')
   image_1 = images.read_image(_FRAME1.value)
   image_2 = images.read_image(_FRAME2.value)
   if image_1.shape != image_2.shape:

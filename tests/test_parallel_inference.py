@@ -138,3 +138,58 @@ def test_window_warp_kernel_runs_inside_shard_map():
       jnp.asarray(img), jnp.asarray(flow))
   want = warp.backward_warp(jnp.asarray(img), jnp.asarray(flow))
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_interpolate_dir_cli_mesh_data(tmp_path):
+  # --mesh data on the dir CLI routes through ShardedVideoInterpolator;
+  # outputs must be byte-identical to the single-device run.
+  from absl import flags
+  from absl.testing import flagsaver
+
+  from frame_interpolation_tpu.cli import interpolate_dir as idir
+  from frame_interpolation_tpu.io import images, params_io
+
+  if not flags.FLAGS.is_parsed():
+    flags.FLAGS.mark_as_parsed()
+
+  rng = np.random.RandomState(7)
+  frames_dir = tmp_path / 'clip'
+  frames_dir.mkdir()
+  for i in range(3):
+    images.write_image(str(frames_dir / f'frame_{i}.png'),
+                       rng.rand(24, 32, 3).astype(np.float32))
+  bundle = str(tmp_path / 'bundle')
+  params_io.save_params(bundle, init_params(FilmNet(OPTS),
+                                            jax.random.PRNGKey(0)), OPTS)
+
+  def run(mesh_mode, out_name):
+    target = tmp_path / out_name
+    import shutil
+    shutil.copytree(frames_dir, target)
+    with flagsaver.flagsaver(
+        pattern=str(target), params=bundle, times_to_interpolate=1,
+        align=OPTS.align, mesh=mesh_mode):
+      idir.main([])
+    out = sorted((target / 'interpolated_frames').glob('*.png'))
+    assert len(out) == 5
+    return [images.read_image(str(p)) for p in out]
+
+  single = run('none', 'single')
+  sharded = run('data', 'sharded')
+  for a, b in zip(single, sharded):
+    np.testing.assert_array_equal(a, b)
+
+
+def test_interpolate_dir_cli_mesh_rejects_streaming():
+  from absl import flags
+  from absl.testing import flagsaver
+  from absl import app
+
+  from frame_interpolation_tpu.cli import interpolate_dir as idir
+
+  if not flags.FLAGS.is_parsed():
+    flags.FLAGS.mark_as_parsed()
+  with flagsaver.flagsaver(pattern='/nonexistent*', params='random',
+                           mesh='data', streaming=True):
+    with pytest.raises(app.UsageError):
+      idir.main([])
