@@ -12,21 +12,29 @@ of ~70 ms on a 1080p x 67-channel warp. The displaced coordinate is
 DISPLACEMENT `floor(x + flow) - x` has a tiny value range within any
 (8, 128) output tile. This kernel exploits that in two levels:
 
-  1. COARSE: per output tile, DMA one (C, 24, 256) source window from the
-     HBM-resident planar image, positioned by the tile's minimum integer
-     displacement (precomputed on the XLA side, scalar-prefetched so the
-     next tile's window streams in while the current tile computes).
-  2. FINE: loop over the tile's integer-displacement range with dynamic
-     `fori_loop` bounds (2-4 row shifts for smooth flow); per shift, the
-     bilinear tap weights are computed ONCE and reused across every
-     channel; the two x-taps are lane-gathers (`take_along_axis`) from an
-     unaligned 8-row slice of the VMEM window.
+  1. COARSE: per GROUP of `g` vertically adjacent (8, 128) output tiles,
+     DMA one (C, 8g+16, 128) source window from the HBM-resident planar
+     image, positioned by the group's minimum integer displacement
+     (precomputed on the XLA side, scalar-prefetched so the next group's
+     window streams in while the current group computes).
+  2. FINE: per tile of the group, loop over the tile's integer-
+     displacement range with dynamic `fori_loop` bounds (2-4 row shifts
+     for smooth flow); per shift, the bilinear tap weights are computed
+     ONCE and reused across every channel; the two x-taps are lane-gathers
+     (`take_along_axis`) from an unaligned 8-row slice of the VMEM window.
+
+The group height g trades window overfetch against VMEM: this kernel is
+HBM-bound on this chip (PERF.md: ~139 GB/s stream rate; windows are its
+dominant traffic), and one 8g+16-row window per 8g output rows fetches
+(8g+16)/8g of the rows a g=1 kernel fetches 24/8 = 3x of — g=4 roughly
+halves window traffic for smooth flow. FI_WARP_GROUP selects g (default
+measured on the real chip; see PERF.md round 3).
 
 Arbitrarily large displacement spreads (motion boundaries) stay exact: the
-kernel walks as many 16-row/256-col window steps as the tile needs, paying
-extra DMAs only for those tiles. There is no fallback path and no
+kernel walks as many (8g+8)-row/128-col window steps as the group needs,
+paying extra DMAs only for those groups. There is no fallback path and no
 approximation; parity with ops.warp.backward_warp is pinned in
-tests/test_warp_window.py.
+tests/test_warp_window.py for g=1 and g=4.
 
 Gradients: wrapped in jax.custom_vjp, with the backward pass delegated to
 the XLA-gather formulation's VJP (identical math), so the kernel is safe to
@@ -35,6 +43,7 @@ use under training as well.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,15 +53,33 @@ from jax.experimental.pallas import tpu as pltpu
 from .warp import _query_coords, backward_warp
 
 _TH = 8     # output tile rows (sublanes)
-_TW = 128   # output tile cols (lanes)
-_WIN_H = 24  # window rows: 16-row d-coverage + 8 slack for unaligned slices
-_WIN_W = 128  # window cols: one 128-col source tile per window step (Mosaic
-             # supports unaligned dynamic sublane starts only for loads that
-             # span the full minor dimension — see experiments/probe_mosaic)
-# Channel block: bounds the triple-buffered (C, 24, 128) f32 window VMEM
-# (3 * 144 * 12KB = 5.2MB, leaving room for the accumulator and index
-# tiles).
-_MAX_CHANNEL_BLOCK = 144
+_TW = 128   # output tile cols (lanes); window cols too (Mosaic supports
+            # unaligned dynamic sublane starts only for loads that span the
+            # full minor dimension — see experiments/probe_mosaic)
+
+
+def _win_h(g: int) -> int:
+  """Window rows: 8g-row load-start coverage + 8 shift + 8 slack rows."""
+  return 8 * g + 16
+
+
+def _win_step(g: int) -> int:
+  """Walk stride between windows: each covers 8g+8 load-start rows."""
+  return 8 * g + 8
+
+
+def _max_channel_block(plane_dtype, g: int) -> int:
+  # Bounds the triple-buffered (C, 8g+16, 128) window VMEM plus the f32
+  # expansion scratch and (C, 8g, 128) accumulator under the 16 MB default
+  # limit. g=1: 144 either dtype (3 * 144 * 12 KB = 5.2 MB f32 windows).
+  # g=4: 144 bf16 (~13.7 MB total), 96 f32 (~12 MB total).
+  if g <= 2 or plane_dtype == jnp.bfloat16:
+    return 144
+  return 96
+
+
+def _group_from_env() -> int:
+  return int(os.environ.get('FI_WARP_GROUP', '1'))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -61,58 +88,61 @@ def _round_up(x: int, m: int) -> int:
 
 def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
                         planes, out_ref, win, winf_ref, acc_ref, sem,
-                        *, cb: int, cp: int, n_sp: int, n_tx: int):
-  """One (cb, 8, 128) output tile against a windowed source.
+                        *, cb: int, cp: int, n_sp: int, n_tx: int, g: int):
+  """One (cb, 8g, 128) output group against windowed source.
 
   Args:
     by_ref/bx_ref: scalar-prefetch (B * n_sp,) int32 — per (sample,
-      spatial tile), the 8-aligned row / 128-aligned col start of its
+      spatial group), the 8-aligned row / 128-aligned col start of its
       first source window (row origin is logical; +8 guard rows are added
       at DMA time).
-    iy/ix/ay/ax_ref: (1, 8, 128) VMEM blocks of clamped integer corners
-      and fractional weights for this sample and tile.
+    iy/ix/ay/ax_ref: (1, 8g, 128) VMEM blocks of clamped integer corners
+      and fractional weights for this sample and group.
     planes: (B * Cp, Hpad, Wp) source in HBM/ANY — the batch is collapsed
       into the plane (channel) axis, so one kernel instance serves every
       sample (a Python loop over batch would instantiate B copies of the
       kernel per warp site, multiplying XLA program size and compile
       time).
-    out_ref: (1, cb, 8, 128) VMEM output block.
-    win: (3, cb, 24, 128) VMEM window scratch in the PLANES dtype — slots
-      0/1 rotate per tile for cross-tile streaming; slot 2 alternates with
-      the tile slot for intra-tile multi-window pipelining. Keeping the
-      planes/windows in the image dtype (bf16 under the serving policy)
-      halves the dominant HBM traffic of this kernel (PERF.md round 3:
-      the chip streams at ~139 GB/s, and windows overfetch ~6x the
-      output bytes).
-    winf_ref: (cb, 24, 128) f32 scratch (None for f32 planes, which read
-      straight from the window slot) — the current window expanded
+    out_ref: (1, cb, 8g, 128) VMEM output block.
+    win: (3, cb, 8g+16, 128) VMEM window scratch in the PLANES dtype —
+      slots 0/1 rotate per group for cross-group streaming; slot 2
+      alternates with the group slot for intra-group multi-window
+      pipelining. Keeping the planes/windows in the image dtype (bf16
+      under the serving policy) halves the dominant HBM traffic of this
+      kernel (PERF.md round 3: the chip streams at ~139 GB/s, and g=1
+      windows overfetch ~6x the output bytes).
+    winf_ref: (cb, 8g+16, 128) f32 scratch (None for f32 planes, which
+      read straight from the window slot) — the current window expanded
       once after its DMA lands. Mosaic rejects DYNAMIC sublane-start
       loads on sublane-packed bf16 VMEM (probe_mosaic), so the per-shift
       unaligned 8-row loads read this f32 copy; bf16->f32 is exact, so
       outputs are bit-identical to the all-f32 kernel.
-    acc_ref: (cb, 8, 128) f32 VMEM accumulator (measured faster than a
+    acc_ref: (cb, 8g, 128) f32 VMEM accumulator (measured faster than a
       loop-carried register accumulator at this block size).
     sem: (3,) DMA semaphores, one per window slot.
   """
   b = pl.program_id(0)
   ci = pl.program_id(1)
-  ty = pl.program_id(2)
+  tg = pl.program_id(2)
   tx = pl.program_id(3)
   n_cb = pl.num_programs(1)
-  t = ty * n_tx + tx
+  t = tg * n_tx + tx
   pos = (b * n_cb + ci) * n_sp + t
   n_pos = pl.num_programs(0) * n_cb * n_sp
   slot = jax.lax.rem(pos, 2)
   c0 = b * cp + ci * cb
   bt = b * n_sp + t
+  win_h = _win_h(g)
+  step = _win_step(g)
 
   def window_dma(c_start, row0, col0, slot_index):
     # row0 is 8-aligned and col0 128-aligned by construction
-    # (_tile_window_bases); the hints let Mosaic slice the tiled HBM memref.
+    # (_group_window_bases); the hints let Mosaic slice the tiled HBM
+    # memref.
     return pltpu.make_async_copy(
         planes.at[pl.ds(c_start, cb),
-                  pl.ds(pl.multiple_of(row0 + 8, _TH), _WIN_H),
-                  pl.ds(pl.multiple_of(col0, _TW), _WIN_W)],
+                  pl.ds(pl.multiple_of(row0 + 8, _TH), win_h),
+                  pl.ds(pl.multiple_of(col0, _TW), _TW)],
         win.at[slot_index], sem.at[slot_index])
 
   def first_window_dma(position, slot_index):
@@ -126,7 +156,7 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
   def _():
     first_window_dma(pos, slot).start()
 
-  # Stream the NEXT tile's first window while this tile computes.
+  # Stream the NEXT group's first window while this group computes.
   @pl.when(pos + 1 < n_pos)
   def _():
     first_window_dma(pos + 1, 1 - slot).start()
@@ -135,29 +165,36 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
   ix = ix_ref[0]
   ay = ay_ref[0]
   ax = ax_ref[0]
-  ty8 = ty * _TH
-  dy = iy - (ty8 + jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0))
-  d_min = jnp.min(dy)
-  d_end = jnp.max(dy) + 2          # tap rows iy and iy+1 -> shifts [d, d+1]
-  e_lo = by_ref[bt] - ty8          # first window's shift origin (<= d_min)
+  tg_row = tg * g * _TH
+
+  # Per-tile displacement ranges (static 8-row slices of the group).
+  subs = []
+  r_hi = None
+  for s in range(g):
+    dy_s = iy[s * _TH:(s + 1) * _TH] - (
+        tg_row + s * _TH +
+        jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0))
+    d_lo_s = jnp.min(dy_s)
+    d_hi_s = jnp.max(dy_s) + 2    # tap rows iy and iy+1 -> shifts [d, d+1]
+    subs.append((dy_s, d_lo_s, d_hi_s))
+    hi = s * _TH + d_hi_s
+    r_hi = hi if r_hi is None else jnp.maximum(r_hi, hi)
+
   cw_lo = bx_ref[bt] // _TW
   cw_hi = (jnp.max(ix) + 1) // _TW
-  n_wy = pl.cdiv(d_end - e_lo, 16)
+  n_wy = pl.cdiv(tg_row + r_hi - by_ref[bt], step)
   n_wx = cw_hi + 1 - cw_lo
   n_w = n_wy * n_wx
-
-  wx0_all = 1.0 - ax
-  wy_tap0 = 1.0 - ay
 
   def win_origin(k):
     # Row-major over (ky, kx): column windows of one row band are adjacent.
     ky = jax.lax.div(k, n_wx)
     kx = jax.lax.rem(k, n_wx)
-    return by_ref[bt] + 16 * ky, bx_ref[bt] + _WIN_W * kx
+    return by_ref[bt] + step * ky, bx_ref[bt] + _TW * kx
 
   def win_slot(k):
-    # Window 0 sits in the cross-tile slot; further windows alternate
-    # between slot 2 and the tile slot (free once window 0 is consumed).
+    # Window 0 sits in the cross-group slot; further windows alternate
+    # between slot 2 and the group slot (free once window 0 is consumed).
     return jnp.where(jax.lax.rem(k, 2) == 0, slot, 2)
 
   needs_expand = win.dtype != jnp.float32
@@ -167,7 +204,7 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
     my_slot = win_slot(k)
     window_dma(c0, wy0, wx0, my_slot).wait()
 
-    # Pipeline: start the tile's next window before computing this one.
+    # Pipeline: start the group's next window before computing this one.
     @pl.when(k + 1 < n_w)
     def _():
       ny0, nx0 = win_origin(k + 1)
@@ -179,87 +216,102 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       # the all-f32 kernel bit for bit.
       winf_ref[...] = win[my_slot].astype(jnp.float32)
 
-    d_lo = jnp.maximum(d_min, wy0 - ty8)
-    d_hi = jnp.minimum(d_end, wy0 - ty8 + 16)
-    lx = ix - wx0
-    lx0 = jnp.clip(lx, 0, _TW - 1)
-    lx1 = jnp.clip(lx + 1, 0, _TW - 1)
-    w0m = jnp.where((lx >= 0) & (lx < _TW), wx0_all, 0.0)
-    w1m = jnp.where((lx + 1 >= 0) & (lx + 1 < _TW), ax, 0.0)
+    for s in range(g):
+      dy_s, d_lo_s, d_hi_s = subs[s]
+      ax_s = ax[s * _TH:(s + 1) * _TH]
+      ay_s = ay[s * _TH:(s + 1) * _TH]
+      wy_tap0 = 1.0 - ay_s
+      # Shifts whose 8-row load-start falls inside this window.
+      d_lo = jnp.maximum(d_lo_s, wy0 - tg_row - s * _TH)
+      d_hi = jnp.minimum(d_hi_s, wy0 + step - tg_row - s * _TH)
+      lx = ix[s * _TH:(s + 1) * _TH] - wx0
+      lx0 = jnp.clip(lx, 0, _TW - 1)
+      lx1 = jnp.clip(lx + 1, 0, _TW - 1)
+      w0m = jnp.where((lx >= 0) & (lx < _TW), 1.0 - ax_s, 0.0)
+      w1m = jnp.where((lx + 1 >= 0) & (lx + 1 < _TW), ax_s, 0.0)
 
-    # Channels collapse into the sublane axis so each shift is ONE 2-D
-    # lane-gather over all channels (Mosaic supports only 2-D gathers, and
-    # a per-channel scalar loop costs ~10x in loop overhead). Weights are
-    # applied AFTER reshaping back to (cb, 8, 128), where broadcasting
-    # along the channel axis is free.
-    def tile_channels(x):
-      return jnp.broadcast_to(x[None], (cb, _TH, _TW)).reshape(
-          cb * _TH, _TW)
+      # Channels collapse into the sublane axis so each shift is ONE 2-D
+      # lane-gather over all channels (Mosaic supports only 2-D gathers,
+      # and a per-channel scalar loop costs ~10x in loop overhead).
+      # Weights are applied AFTER reshaping back to (cb, 8, 128), where
+      # broadcasting along the channel axis is free.
+      def tile_channels(x):
+        return jnp.broadcast_to(x[None], (cb, _TH, _TW)).reshape(
+            cb * _TH, _TW)
 
-    lx0b = tile_channels(lx0)
-    lx1b = tile_channels(lx1)
+      lx0b = tile_channels(lx0)
+      lx1b = tile_channels(lx1)
 
-    def d_body(d, _):
-      # Row-tap weight for this shift, shared by every channel: source row
-      # ty8 + s + d serves output row s via tap0 (dy == d) or tap1
-      # (dy == d - 1).
-      wy = (jnp.where(dy == d, wy_tap0, 0.0) +
-            jnp.where(dy == d - 1, ay, 0.0))
-      w0 = w0m * wy
-      w1 = w1m * wy
+      def d_body(d, _, s=s, dy_s=dy_s, wy_tap0=wy_tap0, ay_s=ay_s,
+                 w0m=w0m, w1m=w1m, lx0b=lx0b, lx1b=lx1b, wy0=wy0,
+                 my_slot=my_slot):
+        # Row-tap weight for this shift, shared by every channel: source
+        # row tg_row + 8s + i + d serves output row i via tap0 (dy == d)
+        # or tap1 (dy == d - 1).
+        wy = (jnp.where(dy_s == d, wy_tap0, 0.0) +
+              jnp.where(dy_s == d - 1, ay_s, 0.0))
+        w0 = w0m * wy
+        w1 = w1m * wy
 
-      # Motion boundaries make dy bimodal: most shifts in [d_min, d_end)
-      # contribute nothing; skip their loads and gathers entirely.
-      @pl.when(jnp.any((w0 > 0.0) | (w1 > 0.0)))
-      def _():
-        row = ty8 + d - wy0
-        if needs_expand:
-          src = winf_ref[:, pl.ds(row, _TH), :]
-        else:
-          src = win[my_slot, :, pl.ds(row, _TH), :]
-        src = src.reshape(cb * _TH, _TW)
-        g0 = jnp.take_along_axis(src, lx0b, axis=1).reshape(cb, _TH, _TW)
-        g1 = jnp.take_along_axis(src, lx1b, axis=1).reshape(cb, _TH, _TW)
-        acc_ref[...] += w0[None] * g0 + w1[None] * g1
+        # Motion boundaries make dy bimodal: most shifts in [d_lo, d_hi)
+        # contribute nothing; skip their loads and gathers entirely.
+        @pl.when(jnp.any((w0 > 0.0) | (w1 > 0.0)))
+        def _():
+          row = tg_row + s * _TH + d - wy0
+          if needs_expand:
+            src = winf_ref[:, pl.ds(row, _TH), :]
+          else:
+            src = win[my_slot, :, pl.ds(row, _TH), :]
+          src = src.reshape(cb * _TH, _TW)
+          g0 = jnp.take_along_axis(src, lx0b, axis=1).reshape(
+              cb, _TH, _TW)
+          g1 = jnp.take_along_axis(src, lx1b, axis=1).reshape(
+              cb, _TH, _TW)
+          acc_ref[:, s * _TH:(s + 1) * _TH, :] += (
+              w0[None] * g0 + w1[None] * g1)
 
-      return 0
+        return 0
 
-    return jax.lax.fori_loop(d_lo, d_hi, d_body, 0)
+      jax.lax.fori_loop(d_lo, d_hi, d_body, 0)
+    return 0
 
   acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
   jax.lax.fori_loop(0, n_w, window_body, 0)
   out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _tile_window_bases(iy: jnp.ndarray, ix: jnp.ndarray,
-                       n_ty: int, n_tx: int):
-  """Per-tile aligned window origins, flattened to (n_ty * n_tx,) int32.
+def _group_window_bases(iy: jnp.ndarray, ix: jnp.ndarray,
+                        n_tg: int, n_tx: int, g: int):
+  """Per-group aligned window origins, flattened to (n_tg * n_tx,) int32.
 
-  The row origin is derived from the tile's minimum integer DISPLACEMENT
-  (iy - y), not its minimum absolute row: the 8-row block for shift d spans
-  rows [ty*8 + d, ty*8 + d + 8), whose start ty*8 + min(dy) can sit up to 7
-  rows below min(iy) (when the minimum displacement occurs on a lower
-  sublane) and as low as -7 (handled by 8 guard rows at the top of the
-  padded planes). Columns need no such treatment: the lane gathers only
-  read columns in [min(ix), max(ix) + 1], all inside the aligned window.
+  The row origin is derived from the group's minimum integer DISPLACEMENT
+  (iy - y), not its minimum absolute row: the 8-row block for shift d of
+  tile ty spans rows [ty*8 + d, ty*8 + d + 8), whose start ty*8 + min(dy)
+  can sit up to 7 rows below min(iy) (when the minimum displacement occurs
+  on a lower sublane) and as low as -7 (handled by 8 guard rows at the top
+  of the padded planes). Columns need no such treatment: the lane gathers
+  only read columns in [min(ix), max(ix) + 1], all inside the aligned
+  window.
   """
+  n_ty = n_tg * g
   rows = jnp.arange(n_ty * _TH, dtype=jnp.int32)[:, None]
   d_lo = jnp.min((iy - rows).reshape(n_ty, _TH, n_tx, _TW), axis=(1, 3))
   ty8 = jnp.arange(n_ty, dtype=jnp.int32)[:, None] * _TH
-  by = ((ty8 + d_lo) // _TH) * _TH
+  by = jnp.min((((ty8 + d_lo) // _TH) * _TH).reshape(n_tg, g, n_tx), axis=1)
   c_lo = jnp.min(ix.reshape(n_ty, _TH, n_tx, _TW), axis=(1, 3))
-  bx = (c_lo // _TW) * _TW
+  bx = jnp.min(((c_lo // _TW) * _TW).reshape(n_tg, g, n_tx), axis=1)
   return by.reshape(-1).astype(jnp.int32), bx.reshape(-1).astype(jnp.int32)
 
 
-def _channel_block(c: int) -> int:
-  n_blocks = -(-c // _MAX_CHANNEL_BLOCK)
+def _channel_block(c: int, plane_dtype, g: int) -> int:
+  cap = _max_channel_block(plane_dtype, g)
+  n_blocks = -(-c // cap)
   return -(-c // n_blocks)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('interpret', 'g'))
 def _forward(image: jnp.ndarray, flow: jnp.ndarray,
-             interpret: bool = False) -> jnp.ndarray:
+             interpret: bool = False, g: int = 1) -> jnp.ndarray:
   """Warp for a batch: image (B, H, W, C), flow (B, H, W, 2).
 
   The whole batch runs as ONE pallas_call: the grid gains a leading batch
@@ -272,62 +324,64 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
   out_dtype = image.dtype
   iy, ix, ay, ax = _query_coords(h, w, flow)
 
-  hp = _round_up(h, _TH)
+  gh = g * _TH
+  hp = _round_up(h, gh)
   wp = _round_up(w, _TW)
-  n_ty = hp // _TH
+  n_tg = hp // gh
   n_tx = wp // _TW
-  # Edge-pad the index maps so padded lanes never inflate a tile's window.
+  # Edge-pad the index maps so padded lanes never inflate a group's window.
   pads = ((0, 0), (0, hp - h), (0, wp - w))
   iy = jnp.pad(iy, pads, mode='edge')
   ix = jnp.pad(ix, pads, mode='edge')
   ay = jnp.pad(ay, pads, mode='edge')
   ax = jnp.pad(ax, pads, mode='edge')
-  by, bx = jax.vmap(functools.partial(_tile_window_bases, n_ty=n_ty,
-                                      n_tx=n_tx))(iy, ix)
+  by, bx = jax.vmap(functools.partial(_group_window_bases, n_tg=n_tg,
+                                      n_tx=n_tx, g=g))(iy, ix)
   by = by.reshape(-1)
   bx = bx.reshape(-1)
 
-  cb = _channel_block(c)
+  plane_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
+                 else jnp.float32)
+  cb = _channel_block(c, plane_dtype, g)
   cp = _round_up(c, cb)
   # Planar source in the IMAGE dtype (bf16 halves the dominant window/
   # transpose HBM traffic on this ~139 GB/s chip; f32 images behave as
   # before), padded so every window DMA stays in bounds: 8 guard rows on
   # top (negative-displacement blocks can start at row -8) and
-  # round8(h) + 32 below (window top can reach align8(h-1) + 23); 128-col
+  # hp + 8g + 24 - h below (the last walked window origin is at most
+  # align8(max load start) <= h + 6 and extends 8g + 16 rows); 128-col
   # windows never cross round128(w). Non-float images warp in f32.
-  plane_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
-                 else jnp.float32)
   planes = jnp.transpose(image.astype(plane_dtype), (0, 3, 1, 2))
-  planes = jnp.pad(planes, ((0, 0), (0, cp - c), (8, hp + 32 - h),
-                            (0, wp - w)))
-  planes = planes.reshape(bsz * cp, hp + 40, wp)
+  pad_bot = hp + 8 * g + 24 - h
+  planes = jnp.pad(planes, ((0, 0), (0, cp - c), (8, pad_bot), (0, wp - w)))
+  planes = planes.reshape(bsz * cp, hp + 8 * g + 32, wp)
 
-  n_sp = n_ty * n_tx
+  n_sp = n_tg * n_tx
   needs_expand = plane_dtype != jnp.float32
   if needs_expand:
     kernel = functools.partial(_warp_window_kernel, cb=cb, cp=cp,
-                               n_sp=n_sp, n_tx=n_tx)
+                               n_sp=n_sp, n_tx=n_tx, g=g)
   else:
     # f32 planes read straight from the window slot; don't reserve the
-    # (cb, _WIN_H, _WIN_W) f32 expansion scratch the kernel would never
+    # (cb, 8g+16, 128) f32 expansion scratch the kernel would never
     # touch (it costs VMEM headroom the triple-buffered windows rely on).
     def kernel(by, bx, iy, ix, ay, ax, planes, out, win, acc, sem):
       _warp_window_kernel(by, bx, iy, ix, ay, ax, planes, out, win, None,
-                          acc, sem, cb=cb, cp=cp, n_sp=n_sp, n_tx=n_tx)
-  idx_spec = pl.BlockSpec((1, _TH, _TW),
-                          lambda b, ci, ty, tx, *refs: (b, ty, tx))
+                          acc, sem, cb=cb, cp=cp, n_sp=n_sp, n_tx=n_tx, g=g)
+  idx_spec = pl.BlockSpec((1, gh, _TW),
+                          lambda b, ci, tg, tx, *refs: (b, tg, tx))
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=2,
-      grid=(bsz, cp // cb, n_ty, n_tx),
+      grid=(bsz, cp // cb, n_tg, n_tx),
       in_specs=[idx_spec, idx_spec, idx_spec, idx_spec,
                 pl.BlockSpec(memory_space=pl.ANY)],
-      out_specs=pl.BlockSpec((1, cb, _TH, _TW),
-                             lambda b, ci, ty, tx, *refs: (b, ci, ty, tx)),
+      out_specs=pl.BlockSpec((1, cb, gh, _TW),
+                             lambda b, ci, tg, tx, *refs: (b, ci, tg, tx)),
       scratch_shapes=(
-          [pltpu.VMEM((3, cb, _WIN_H, _WIN_W), plane_dtype)] +
-          ([pltpu.VMEM((cb, _WIN_H, _WIN_W), jnp.float32)]
+          [pltpu.VMEM((3, cb, _win_h(g), _TW), plane_dtype)] +
+          ([pltpu.VMEM((cb, _win_h(g), _TW), jnp.float32)]
            if needs_expand else []) +
-          [pltpu.VMEM((cb, _TH, _TW), jnp.float32),
+          [pltpu.VMEM((cb, gh, _TW), jnp.float32),
            pltpu.SemaphoreType.DMA((3,))]))
   out = pl.pallas_call(
       kernel,
@@ -352,11 +406,12 @@ def backward_warp_window(image: jnp.ndarray, flow: jnp.ndarray,
     Warped image, same shape/dtype as `image`; numerically identical to
     ops.warp.backward_warp.
   """
-  return _forward(image, flow, interpret)
+  return _forward(image, flow, interpret, g=_group_from_env())
 
 
 def _fwd(image, flow, interpret):
-  return _forward(image, flow, interpret), (image, flow)
+  return (_forward(image, flow, interpret, g=_group_from_env()),
+          (image, flow))
 
 
 def _bwd(interpret, residuals, g):

@@ -15,6 +15,15 @@ from frame_interpolation_tpu.ops import warp, warp_window
 
 pytestmark = pytest.mark.slow  # model compiles dominate runtime
 
+
+@pytest.fixture(autouse=True, params=[1, 4], ids=['g1', 'g4'])
+def warp_group(request, monkeypatch):
+  # Every parity case runs at both group heights: g=1 (the original
+  # per-tile window) and g=4 (the tall 4-tile window, PERF.md round 3).
+  monkeypatch.setenv('FI_WARP_GROUP', str(request.param))
+  return request.param
+
+
 def _check(img, flow, atol=1e-6):
   want = np.asarray(warp.backward_warp(jnp.asarray(img), jnp.asarray(flow)),
                     np.float32)
