@@ -20,8 +20,9 @@ from jax.experimental.pallas import tpu as pltpu
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from frame_interpolation_tpu.ops.warp import _query_coords
-from frame_interpolation_tpu.ops.warp_window import (_MAX_CHANNEL_BLOCK, _TH, _TW, _WIN_H, _WIN_W,
-                          _channel_block, _round_up, _tile_window_bases)
+from frame_interpolation_tpu.ops.warp_window import _TH, _TW, _round_up
+from frame_interpolation_tpu.ops.warp_splat import (
+    _MAX_CHANNEL_BLOCK, _WIN_H, _WIN_W, _channel_block, _tile_window_bases)
 
 
 def _splat_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref, gout_ref,

@@ -44,8 +44,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .warp import _query_coords
-from .warp_window import (_MAX_CHANNEL_BLOCK, _TH, _TW, _WIN_H, _WIN_W,
-                          _channel_block, _round_up, _tile_window_bases)
+from .warp_window import _TH, _TW, _group_window_bases, _round_up
+
+# This kernel keeps the original per-tile window geometry (the splat
+# destination windows are read-modify-write; taller shared windows do not
+# apply — each tile's RMW must stay serialized per window).
+_WIN_H = 24    # window rows: 16-row d-coverage + 8 slack
+_WIN_W = _TW   # one 128-col source tile per window step
+_MAX_CHANNEL_BLOCK = 144
+
+
+def _tile_window_bases(iy, ix, n_ty, n_tx):
+  """Per-(8, 128)-tile window origins — the g=1 group bases."""
+  return _group_window_bases(iy, ix, n_tg=n_ty, n_tx=n_tx, g=1)
+
+
+def _channel_block(c: int) -> int:
+  n_blocks = -(-c // _MAX_CHANNEL_BLOCK)
+  return -(-c // n_blocks)
 
 
 def _splat_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref, gout_ref,
