@@ -193,3 +193,44 @@ def test_interpolate_dir_cli_mesh_rejects_streaming():
                            mesh='data', streaming=True):
     with pytest.raises(app.UsageError):
       idir.main([])
+
+
+def test_interpolate_pair_cli_mesh_modes(tmp_path):
+  # Both --mesh modes of the pair CLI must reproduce the single-device
+  # output: 'data' shards the patch grid, 'spatial' row-shards one
+  # full-frame forward (GSPMD halo exchanges).
+  from absl import flags
+  from absl.testing import flagsaver
+
+  from frame_interpolation_tpu.cli import interpolate_pair as ipair
+  from frame_interpolation_tpu.io import images, params_io
+
+  if not flags.FLAGS.is_parsed():
+    flags.FLAGS.mark_as_parsed()
+
+  rng = np.random.RandomState(11)
+  h = OPTS.align * 2
+  w = OPTS.align * 4
+  f1 = str(tmp_path / 'f1.png')
+  f2 = str(tmp_path / 'f2.png')
+  images.write_image(f1, rng.rand(h, w, 3).astype(np.float32))
+  images.write_image(f2, rng.rand(h, w, 3).astype(np.float32))
+  bundle = str(tmp_path / 'bundle')
+  params_io.save_params(bundle, init_params(FilmNet(OPTS),
+                                            jax.random.PRNGKey(0)), OPTS)
+
+  def run(mesh_mode, name, block=(1, 1)):
+    out = str(tmp_path / f'{name}.png')
+    with flagsaver.flagsaver(
+        frame1=f1, frame2=f2, params=bundle, output_frame=out,
+        align=OPTS.align, block_height=block[0], block_width=block[1],
+        mesh=mesh_mode):
+      ipair.main([])
+    return images.read_image(out)
+
+  # Patch tiling changes semantics at patch borders (reference block mode,
+  # eval/interpolator.py:192-206): compare tiled-vs-tiled and full-vs-full.
+  tiled = run('none', 'single_tiled', block=(2, 4))
+  np.testing.assert_array_equal(run('data', 'data', block=(2, 4)), tiled)
+  single = run('none', 'single')
+  np.testing.assert_array_equal(run('spatial', 'spatial'), single)
