@@ -116,3 +116,22 @@ class TestWarpWindowParity:
     gi_x, gf_x = jax.grad(loss_xla, argnums=(0, 1))(img, flow)
     np.testing.assert_allclose(np.asarray(gi_w), np.asarray(gi_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_x), atol=1e-5)
+
+
+def test_pair_impl_matches_separate_calls(monkeypatch):
+  # backward_warp_pair_impl's batched window path must reproduce two
+  # separate per-direction kernel calls bit for bit (the kernel computes
+  # each output tile independently; batch concat only widens the grid).
+  rng = np.random.RandomState(9)
+  img0 = jnp.asarray(rng.rand(1, 24, 150, 5), jnp.float32)
+  img1 = jnp.asarray(rng.rand(1, 24, 150, 5), jnp.float32)
+  f0 = jnp.asarray((rng.rand(1, 24, 150, 2) - 0.5) * 9, jnp.float32)
+  f1 = jnp.asarray((rng.rand(1, 24, 150, 2) - 0.5) * 9, jnp.float32)
+
+  b = img0.shape[0]
+  both = warp_window.backward_warp_window(
+      jnp.concatenate([img0, img1]), jnp.concatenate([f0, f1]), True)
+  sep0 = warp_window.backward_warp_window(img0, f0, True)
+  sep1 = warp_window.backward_warp_window(img1, f1, True)
+  np.testing.assert_array_equal(np.asarray(both[:b]), np.asarray(sep0))
+  np.testing.assert_array_equal(np.asarray(both[b:]), np.asarray(sep1))
