@@ -98,13 +98,18 @@ def backward_warp_pair_impl(image0: jnp.ndarray, image1: jnp.ndarray,
     h, w = image0.shape[1], image0.shape[2]
     impl = 'window' if platform == 'tpu' and h >= 64 and w >= 256 else (
         'gather')
-  if impl == 'window':
+  if impl == 'window' and os.environ.get('FI_WARP_PAIR', '') == 'batched':
+    # Gated off by default until the on-chip A/B: XLA may materialize the
+    # NHWC concat before the kernel's planar transpose (round 2's model-
+    # level batch-2 stacking lost exactly there, PERF.md) — whether the
+    # halved dispatch count pays for it is a measurement.
     from .warp_window import backward_warp_window
     b = image0.shape[0]
     out = backward_warp_window(jnp.concatenate([image0, image1], axis=0),
                                jnp.concatenate([flow0, flow1], axis=0))
     return out[:b], out[b:]
-  return backward_warp(image0, flow0), backward_warp(image1, flow1)
+  return (backward_warp_impl(image0, flow0, impl),
+          backward_warp_impl(image1, flow1, impl))
 
 
 def _backward_warp_raw(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
