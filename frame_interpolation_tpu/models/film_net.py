@@ -101,12 +101,13 @@ class FilmNet(nn.Module):
     ]
 
     # Backward warping: backward flow reads from image 0, forward from 1.
-    # Both directions of each level run as one batched warp kernel
-    # (ops/pyramid.pyramid_warp_pair) — per-direction results identical.
-    forward_warped_pyramid, backward_warped_pyramid = (
-        pyramid_ops.pyramid_warp_pair(
-            pyramids_to_warp[0], pyramids_to_warp[1],
-            backward_flow, forward_flow, impl=config.warp_impl))
+    # (Stacking both directions as batch-2 through one kernel call was
+    # measured SLOWER in round 2 — the stack/split concats do not fuse
+    # into the planar relayout; PERF.md "Paired-direction fusion warps".)
+    forward_warped_pyramid = pyramid_ops.pyramid_warp(
+        pyramids_to_warp[0], backward_flow, impl=config.warp_impl)
+    backward_warped_pyramid = pyramid_ops.pyramid_warp(
+        pyramids_to_warp[1], forward_flow, impl=config.warp_impl)
 
     aligned_pyramid = pyramid_ops.concatenate_pyramids(
         forward_warped_pyramid, backward_warped_pyramid)

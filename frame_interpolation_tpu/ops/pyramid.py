@@ -80,25 +80,6 @@ def pyramid_warp(feature_pyramid: Sequence[jnp.ndarray],
   ]
 
 
-def pyramid_warp_pair(pyramid0: Sequence[jnp.ndarray],
-                      pyramid1: Sequence[jnp.ndarray],
-                      flow_pyramid0: Sequence[jnp.ndarray],
-                      flow_pyramid1: Sequence[jnp.ndarray],
-                      impl: str = 'gather'):
-  """Warps both time directions per level; one batched kernel per level.
-
-  Equivalent to two pyramid_warp calls (the reference's paired sites,
-  models/film_net/interpolator.py:167-183) but on the TPU window path each
-  level's two directions share one pallas_call — see
-  warp.backward_warp_pair_impl.
-  """
-  warped0, warped1 = [], []
-  for f0, f1, fl0, fl1 in zip(pyramid0, pyramid1, flow_pyramid0,
-                              flow_pyramid1):
-    w0, w1 = warp_ops.backward_warp_pair_impl(f0, f1, fl0, fl1, impl)
-    warped0.append(w0)
-    warped1.append(w1)
-  return warped0, warped1
 
 
 

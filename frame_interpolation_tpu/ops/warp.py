@@ -75,41 +75,6 @@ def backward_warp_impl(image: jnp.ndarray, flow: jnp.ndarray,
   return backward_warp(image, flow)
 
 
-def backward_warp_pair_impl(image0: jnp.ndarray, image1: jnp.ndarray,
-                            flow0: jnp.ndarray, flow1: jnp.ndarray,
-                            impl: str = 'gather'):
-  """Warps both time directions of one pyramid level; returns (w0, w1).
-
-  On the window path the two directions run as ONE batched pallas_call
-  (batch-dim concat): the kernel computes every output tile independently,
-  so each half is bit-identical to its separate-call result, while the
-  warp sites per model drop 2x (dispatch gaps, XLA program size) and the
-  kernel's cross-group window prefetch pipelines across the direction
-  boundary. The concat itself is traffic-neutral — the kernel's planar
-  transpose materializes a fresh buffer either way. Covers the reference's
-  paired warp sites (models/film_net/interpolator.py:167-183).
-  """
-  if impl == 'auto':
-    # Resolve ONCE so both directions take the same path.
-    try:
-      platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover - no backend configured
-      platform = 'cpu'
-    h, w = image0.shape[1], image0.shape[2]
-    impl = 'window' if platform == 'tpu' and h >= 64 and w >= 256 else (
-        'gather')
-  if impl == 'window' and os.environ.get('FI_WARP_PAIR', '') == 'batched':
-    # Gated off by default until the on-chip A/B: XLA may materialize the
-    # NHWC concat before the kernel's planar transpose (round 2's model-
-    # level batch-2 stacking lost exactly there, PERF.md) — whether the
-    # halved dispatch count pays for it is a measurement.
-    from .warp_window import backward_warp_window
-    b = image0.shape[0]
-    out = backward_warp_window(jnp.concatenate([image0, image1], axis=0),
-                               jnp.concatenate([flow0, flow1], axis=0))
-    return out[:b], out[b:]
-  return (backward_warp_impl(image0, flow0, impl),
-          backward_warp_impl(image1, flow1, impl))
 
 
 def _backward_warp_raw(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
