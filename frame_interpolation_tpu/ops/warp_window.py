@@ -28,7 +28,7 @@ HBM-bound on this chip (PERF.md: ~139 GB/s stream rate; windows are its
 dominant traffic), and one 8g+16-row window per 8g output rows fetches
 (8g+16)/8g of the rows a g=1 kernel fetches 24/8 = 3x of — g=4 roughly
 halves window traffic for smooth flow. FI_WARP_GROUP selects g (default
-measured on the real chip; see PERF.md round 3).
+4, measured on the real chip; see PERF.md round 3).
 
 Arbitrarily large displacement spreads (motion boundaries) stay exact: the
 kernel walks as many (8g+8)-row/128-col window steps as the group needs,
@@ -79,7 +79,12 @@ def _max_channel_block(plane_dtype, g: int) -> int:
 
 
 def _group_from_env() -> int:
-  return int(os.environ.get('FI_WARP_GROUP', '1'))
+  # Default g=4, from the on-chip A/B (PERF.md round 3): kernel-level
+  # slow/smooth/boundary/random = 12.5/31.0/31.9/161 ms vs g=1's
+  # 15.6/32.6/34.1/162, in-model 1080p pair 2.841 -> 2.973 fps. g=1
+  # remains available (FI_WARP_GROUP=1) and is pinned by the same
+  # parity tests.
+  return int(os.environ.get('FI_WARP_GROUP', '4'))
 
 
 def _round_up(x: int, m: int) -> int:
