@@ -36,12 +36,54 @@ TensorFlow is imported lazily and only used host-side to read the files.
 """
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..options import Options
+
+_LEVEL_SLOT_RE = re.compile(r'level_(\d+)_slot_(\d+)')
+_AUTO_SUFFIX_RE = re.compile(r'(.+?)_(\d+)')
+
+
+def _fusion_names_from_scopes(fusion_order: List[str]) -> Optional[Dict[str,
+                                                                        str]]:
+  """Maps fusion layer scopes to flax names when scopes carry level/slot.
+
+  The checkpoint reader (_named_vars_from_checkpoint) emits explicit
+  'level_{i}_slot_{j}' / 'output_conv' scopes reconstructed from the
+  object graph's attribute paths, which identify each conv unambiguously —
+  no shape fingerprinting needed. Returns None when any scope lacks that
+  structure (e.g. SavedModel auto-names like 'conv2d_17').
+  """
+  mapping: Dict[str, str] = {}
+  for layer in fusion_order:
+    base = layer.split('/')[-1]
+    match = _LEVEL_SLOT_RE.fullmatch(base)
+    if match:
+      mapping[layer] = f'conv_{int(match.group(1))}_{int(match.group(2))}'
+    elif base == 'output_conv':
+      mapping[layer] = 'output_conv'
+    else:
+      return None
+  return mapping
+
+
+def _creation_rank(layer: str) -> Tuple[str, int]:
+  """(base name, creation index) recovered from a TF auto-name.
+
+  Keras auto-names unnamed layers with a process-global counter: the first
+  instance is 'conv2d', later ones 'conv2d_1', 'conv2d_2', ... — so the
+  numeric suffix orders same-base layers by creation, independently of how
+  a container happens to enumerate its variables.
+  """
+  base = layer.split('/')[-1]
+  match = _AUTO_SUFFIX_RE.fullmatch(base)
+  if match:
+    return match.group(1), int(match.group(2))
+  return base, 0
 
 
 def _aligned_channels(options: Options, level: int) -> int:
@@ -132,8 +174,6 @@ def _import_named_variables(named_vars: List[Tuple[str, np.ndarray]],
         fusion_order.append(layer)
       fusion_convs[layer][leaf] = value
 
-  # Identify the (auto-named) fusion convs by kernel shape, which is unique
-  # per conv; fall back to enumeration order among identical shapes.
   expected = _expected_fusion_shapes(options)
   if len(fusion_order) != len(expected):
     raise ValueError(
@@ -144,11 +184,52 @@ def _import_named_variables(named_vars: List[Tuple[str, np.ndarray]],
   for i in range(levels - 1):
     flax_names += [f'conv_{i}_0', f'conv_{i}_1', f'conv_{i}_2']
   flax_names.append('output_conv')
+  expected_by_name = dict(zip(flax_names, expected))
 
+  # Preferred: explicit level/slot scopes (object-checkpoint imports)
+  # identify every conv by name; shapes are still validated.
+  by_name = _fusion_names_from_scopes(fusion_order)
+  if by_name is not None:
+    if sorted(by_name.values()) != sorted(flax_names):
+      raise ValueError(
+          'TF weight import: fusion scopes name levels/slots '
+          f'{sorted(by_name.values())}, expected {sorted(flax_names)}.')
+    for tf_layer, flax_name in by_name.items():
+      _check_shape(tuple(fusion_convs[tf_layer]['kernel'].shape),
+                   expected_by_name[flax_name],
+                   f'fusion {flax_name} kernel')
+      _assign(params, ['fusion', flax_name, 'kernel'],
+              fusion_convs[tf_layer]['kernel'])
+      _assign(params, ['fusion', flax_name, 'bias'],
+              fusion_convs[tf_layer]['bias'])
+    return params
+
+  # Otherwise identify the (auto-named) fusion convs by kernel shape. Any
+  # config where two fusion levels share filter counts (the filters<<m
+  # plateau above specialized_levels) makes some 3x3 kernel shapes
+  # IDENTICAL across levels; those are ordered by the creation index in
+  # their TF auto-name (the process-global Keras counter), never by
+  # enumeration order, and the import fails loudly when no such ordering
+  # exists — silent enumeration-order fallback risked swapping levels on
+  # containers that enumerate variables lexicographically.
   by_shape: Dict[Tuple[int, ...], List[str]] = {}
   for tf_layer in fusion_order:
     shape = tuple(fusion_convs[tf_layer]['kernel'].shape)
     by_shape.setdefault(shape, []).append(tf_layer)
+  for pool in by_shape.values():
+    if len(pool) > 1:
+      ranks = [_creation_rank(layer) for layer in pool]
+      bases = {base for base, _ in ranks}
+      indices = [index for _, index in ranks]
+      if len(bases) != 1 or len(set(indices)) != len(indices):
+        raise ValueError(
+            'TF weight import: fusion convs '
+            f'{sorted(pool)} share kernel shape '
+            f'{tuple(fusion_convs[pool[0]]["kernel"].shape)} and their '
+            'names carry no creation order (expected Keras auto-names '
+            "like 'conv2d_7'); cannot assign them to fusion levels "
+            'unambiguously.')
+      pool.sort(key=lambda layer: _creation_rank(layer)[1])
   for flax_name, want in zip(flax_names, expected):
     pool = by_shape.get(tuple(want))
     if not pool:

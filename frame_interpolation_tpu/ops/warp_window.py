@@ -68,14 +68,34 @@ def _win_step(g: int) -> int:
   return 8 * g + 8
 
 
+def _scratch_bytes_per_channel(plane_dtype, g: int) -> int:
+  """Kernel-scratch VMEM bytes per channel of the block, at group height g.
+
+  Counts the triple-buffered (cb, 8g+16, 128) windows in the plane dtype,
+  the f32 expansion scratch (bf16 planes only), the (cb, 8g, 128) f32
+  accumulator, and the output block.
+  """
+  s = 2 if plane_dtype == jnp.bfloat16 else 4
+  wh = _win_h(g)
+  expand = wh * 4 if s == 2 else 0
+  return 128 * (wh * 3 * s + expand + 8 * g * 4 + 8 * g * s)
+
+
 def _max_channel_block(plane_dtype, g: int) -> int:
   # Bounds the triple-buffered (C, 8g+16, 128) window VMEM plus the f32
   # expansion scratch and (C, 8g, 128) accumulator under the 16 MB default
-  # limit. g=1: 144 either dtype (3 * 144 * 12 KB = 5.2 MB f32 windows).
-  # g=4: 144 bf16 (~13.7 MB total), 96 f32 (~12 MB total).
-  if g <= 2 or plane_dtype == jnp.bfloat16:
+  # limit. On-chip-exercised points (PERF.md round 3): g=1 cb=144 either
+  # dtype (3 * 144 * 12 KB = 5.2 MB f32 windows); g=4 cb=144 bf16
+  # (~13.7 MB total) / cb=96 f32 (~12 MB total). Taller groups shrink the
+  # block so scratch stays within the g=4 budget (window rows and
+  # accumulator scale ~linearly with g).
+  if g <= 2:
     return 144
-  return 96
+  base = 144 if plane_dtype == jnp.bfloat16 else 96
+  if g <= 4:
+    return base
+  budget = base * _scratch_bytes_per_channel(plane_dtype, 4)
+  return max(8, budget // _scratch_bytes_per_channel(plane_dtype, g))
 
 
 def _group_from_env() -> int:
@@ -84,7 +104,16 @@ def _group_from_env() -> int:
   # 15.6/32.6/34.1/162, in-model 1080p pair 2.841 -> 2.973 fps. g=1
   # remains available (FI_WARP_GROUP=1) and is pinned by the same
   # parity tests.
-  return int(os.environ.get('FI_WARP_GROUP', '4'))
+  raw = os.environ.get('FI_WARP_GROUP', '4')
+  try:
+    g = int(raw)
+  except ValueError:
+    raise ValueError(f'FI_WARP_GROUP must be a positive integer; got {raw!r}')
+  if g < 1:
+    raise ValueError(f'FI_WARP_GROUP must be >= 1; got {g}. Parity-tested '
+                     'heights are 1 and 4 (the default); taller groups are '
+                     'supported with an automatically shrunk channel block.')
+  return g
 
 
 def _round_up(x: int, m: int) -> int:

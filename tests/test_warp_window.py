@@ -118,6 +118,47 @@ class TestWarpWindowParity:
     np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_x), atol=1e-5)
 
 
+class TestGroupEnvValidation:
+
+  @pytest.mark.parametrize('bad', ['0', '-1', 'four', ''])
+  def test_rejects_invalid_group(self, bad, monkeypatch):
+    monkeypatch.setenv('FI_WARP_GROUP', bad)
+    with pytest.raises(ValueError, match='FI_WARP_GROUP'):
+      warp_window._group_from_env()
+
+  def test_default_and_valid_values(self, monkeypatch):
+    monkeypatch.delenv('FI_WARP_GROUP', raising=False)
+    assert warp_window._group_from_env() == 4
+    monkeypatch.setenv('FI_WARP_GROUP', '1')
+    assert warp_window._group_from_env() == 1
+
+  def test_channel_block_scales_down_with_tall_groups(self):
+    # The on-chip-exercised points stay pinned...
+    assert warp_window._max_channel_block(jnp.float32, 1) == 144
+    assert warp_window._max_channel_block(jnp.bfloat16, 4) == 144
+    assert warp_window._max_channel_block(jnp.float32, 4) == 96
+    # ...and taller groups shrink the block so scratch VMEM never exceeds
+    # the g=4 budget (ADVICE round 3: g>=5 bf16 at cb=144 would need
+    # ~19+ MB against the 16 MB default limit).
+    for dtype in (jnp.float32, jnp.bfloat16):
+      budget = (warp_window._max_channel_block(dtype, 4)
+                * warp_window._scratch_bytes_per_channel(dtype, 4))
+      for g in (5, 6, 8, 16):
+        cb = warp_window._max_channel_block(dtype, g)
+        assert cb >= 8
+        assert (cb * warp_window._scratch_bytes_per_channel(dtype, g)
+                <= budget)
+
+  def test_tall_group_parity(self, monkeypatch):
+    # A g beyond the hardware-exercised {1, 4} still computes exactly
+    # (interpret mode): the walk machinery is g-independent.
+    monkeypatch.setenv('FI_WARP_GROUP', '6')
+    rng = np.random.RandomState(11)
+    img = rng.rand(1, 56, 150, 3).astype(np.float32)
+    flow = ((rng.rand(1, 56, 150, 2) - 0.5) * 30).astype(np.float32)
+    _check(img, flow)
+
+
 def test_pair_impl_matches_separate_calls(monkeypatch):
   # backward_warp_pair_impl's batched window path must reproduce two
   # separate per-direction kernel calls bit for bit (the kernel computes
