@@ -157,21 +157,34 @@ def run_gate(model_path: str,
   skip_reason = ('tensorflow or SavedModel signature unavailable'
                  if tf_forward is None else None)
 
-  # 2. Forward agreement on a photo pair.
+  # 2. Forward smoke + agreement on a photo pair. The smoke half always
+  # runs when frames are given (even for bare-checkpoint artifacts where
+  # the TF SavedModel forward is unavailable): the imported weights must
+  # produce a finite, correctly-shaped, deterministic mid-frame — so a
+  # future round with only a checkpoint mounted still gets an end-to-end
+  # exercise of the imported model in one command.
   if frame1 and frame2:
+    from ..io import images
+    x0 = images.read_image(frame1)[None]
+    x1 = images.read_image(frame2)[None]
+    ours = interp.interpolate(x0, x1, np.full((1,), 0.5, np.float32))
+    ours2 = interp.interpolate(x0, x1, np.full((1,), 0.5, np.float32))
+    checks['forward_smoke'] = {
+        'finite': bool(np.isfinite(ours).all()),
+        'shape_ok': bool(ours.shape == x0.shape),
+        'deterministic': bool(np.array_equal(ours, ours2)),
+        'pass': bool(np.isfinite(ours).all() and ours.shape == x0.shape
+                     and np.array_equal(ours, ours2))}
     if tf_forward is None:
       checks['forward_agreement'] = {'skipped': skip_reason}
     else:
-      from ..io import images
-      x0 = images.read_image(frame1)[None]
-      x1 = images.read_image(frame2)[None]
-      ours = interp.interpolate(x0, x1, np.full((1,), 0.5, np.float32))
       theirs = tf_forward(x0, x1)
       db = _psnr(np.clip(ours, 0.0, 1.0), np.clip(theirs, 0.0, 1.0))
       checks['forward_agreement'] = {
           'psnr_db': round(db, 2), 'min_db': min_agreement_db,
           'pass': bool(db >= min_agreement_db)}
   else:
+    checks['forward_smoke'] = {'skipped': 'no --frame1/--frame2'}
     checks['forward_agreement'] = {'skipped': 'no --frame1/--frame2'}
 
   # 3. Benchmark mean-PSNR delta over an eval TFRecord.

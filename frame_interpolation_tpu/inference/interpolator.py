@@ -52,7 +52,7 @@ def _u8_to_unit_f32(frames: jnp.ndarray) -> jnp.ndarray:
 
 def expand_tree_program(model, params, frames, times, max_batch, align,
                         as_uint8, shard=None, batch_quantum=1,
-                        wrap_forward=None):
+                        wrap_forward=None, tree_shard=None):
   """The whole-recursion-tree expansion, as a traceable program body.
 
   Expands (N, H, W, 3) f32 `frames` to ((N-1)*2^T + 1, ...) midpoints in
@@ -60,16 +60,21 @@ def expand_tree_program(model, params, frames, times, max_batch, align,
   chunks, so one jit of this body is one device dispatch for the whole
   tree (see Interpolator.expand_tree_device).
 
-  shard/batch_quantum/wrap_forward: multi-chip hooks
+  shard/batch_quantum/wrap_forward/tree_shard: multi-chip hooks
   (parallel/inference.py). `shard` is applied to each per-chunk batch
   (inputs and midpoints) — e.g. a jax.lax.with_sharding_constraint over
   the mesh's batch axis; `wrap_forward` instead wraps the whole
   per-chunk forward (e.g. in jax.shard_map, so Pallas kernels run
   per-device on the local sub-batch); chunk sizes are rounded up to
   `batch_quantum` (the device count) so every forward batch divides
-  evenly across the mesh.
+  evenly across the mesh. `tree_shard` pins the sharding of the TREE
+  state (the growing frame sequence and each depth's midpoints) to ONE
+  consistent PartitionSpec — without it GSPMD picks per-op shardings for
+  the depth merges and falls into an involuntary full rematerialization
+  on the concats (one full replicate + re-partition per depth).
   """
   shard = shard if shard is not None else (lambda x: x)
+  tree_shard = tree_shard if tree_shard is not None else (lambda x: x)
 
   def forward(x0, x1):
     x0, x1 = shard(x0), shard(x1)
@@ -88,7 +93,7 @@ def expand_tree_program(model, params, frames, times, max_batch, align,
     forward = wrap_forward(forward)
 
   q = batch_quantum
-  seq = frames
+  seq = tree_shard(frames)
   for _ in range(times):
     n = seq.shape[0] - 1
     chunk = min(max(max_batch, q), -(-n // q) * q)
@@ -98,15 +103,15 @@ def expand_tree_program(model, params, frames, times, max_batch, align,
     x1 = seq[1:]
     if pad:
       filler = jnp.broadcast_to(seq[:1], (pad,) + seq.shape[1:])
-      x0 = jnp.concatenate([x0, filler])
-      x1 = jnp.concatenate([x1, filler])
+      x0 = tree_shard(jnp.concatenate([x0, filler]))
+      x1 = tree_shard(jnp.concatenate([x1, filler]))
     shape = (n_chunks, chunk) + seq.shape[1:]
     mids = jax.lax.map(lambda ab: forward(ab[0], ab[1]),
                        (x0.reshape(shape), x1.reshape(shape)))
-    mids = mids.reshape((n_chunks * chunk,) + seq.shape[1:])[:n]
+    mids = tree_shard(mids.reshape((n_chunks * chunk,) + seq.shape[1:])[:n])
     merged = jnp.stack([seq[:-1], mids], axis=1)
     merged = merged.reshape((2 * n,) + seq.shape[1:])
-    seq = jnp.concatenate([merged, seq[-1:]])
+    seq = tree_shard(jnp.concatenate([merged, seq[-1:]]))
   if as_uint8:
     # The io.images.to_uint8 rule (clip, *255, round half up), applied
     # in-jit: the PNG/mp4 writers consume uint8, and fetching uint8

@@ -176,6 +176,14 @@ class ShardedVideoInterpolator:
     def wrap_forward(forward):
       return lambda x0, x1: _shard_mapped(forward, mesh, 2)(x0, x1)
 
+    # Pin the TREE state (growing sequence, per-depth midpoints) to one
+    # consistent replicated sharding. Without this GSPMD chooses per-op
+    # shardings for the depth merges and hits an involuntary full
+    # rematerialization on each depth's concatenate — a replicate +
+    # re-partition of the whole tree per depth on a real mesh.
+    def tree_shard(x):
+      return jax.lax.with_sharding_constraint(x, replicated)
+
     @functools.partial(
         jax.jit, static_argnums=(2, 3, 4, 5),
         in_shardings=(replicated, replicated),
@@ -183,7 +191,8 @@ class ShardedVideoInterpolator:
     def _expand_tree(params, frames, times, max_batch, align, as_uint8):
       return interp_lib.expand_tree_program(
           model, params, frames, times, max_batch, align, as_uint8,
-          batch_quantum=ndev, wrap_forward=wrap_forward)
+          batch_quantum=ndev, wrap_forward=wrap_forward,
+          tree_shard=tree_shard)
 
     self._expand_tree = _expand_tree
     self._block_shape = None  # frontier-driver compatibility

@@ -64,7 +64,8 @@ class TestGate:
         artifacts['saved_model'], artifacts['frame1'], artifacts['frame2'],
         artifacts['tfrecord'], options=OPTS)
     assert result['pass'], json.dumps(result)
-    assert result['checks_run'] == 3  # nothing skipped: TF is available
+    assert result['checks_run'] == 4  # nothing skipped: TF is available
+    assert result['checks']['forward_smoke']['pass']
     agreement = result['checks']['forward_agreement']
     assert agreement['psnr_db'] >= 50.0
     delta = result['checks']['benchmark_delta']
@@ -99,6 +100,7 @@ class TestGate:
                                       options=OPTS)
     assert result['pass']  # import-only gate
     assert result['checks_run'] == 1
+    assert 'skipped' in result['checks']['forward_smoke']
     assert 'skipped' in result['checks']['forward_agreement']
     assert 'skipped' in result['checks']['benchmark_delta']
 
