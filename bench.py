@@ -57,13 +57,18 @@ def bench_video():
   n_frames = int(os.environ.get('BENCH_FRAMES', '5'))
   height = int(os.environ.get('BENCH_HEIGHT', '1080'))
   width = int(os.environ.get('BENCH_WIDTH', '1920'))
+  # BENCH_BLOCK=2x2 tiles each frame into patches (the 4K serving config);
+  # the whole tiled tree still runs as one program per chunk
+  # (inference/cached_tree.py).
+  bh, bw = (int(v) for v in os.environ.get('BENCH_BLOCK', '1x1').split('x'))
+  block_shape = (bh, bw) if bh * bw > 1 else None
   options = Options.film_net_released(
       dtype_policy=dtype_policy, use_aux_outputs=False,
       warp_impl=warp_impl,
       fold_convs=os.environ.get('BENCH_FOLD', 'auto'))
   model = FilmNet(options)
   params = init_params(model, jax.random.PRNGKey(0))
-  interp = Interpolator(params, options, align=64)
+  interp = Interpolator(params, options, align=64, block_shape=block_shape)
   rng = np.random.RandomState(0)
   # Raw uint8 frames: the serving inputs ARE 8-bit PNGs, and the streaming
   # driver ships them uint8 (converted in-jit, bit-identical to the f32
@@ -99,7 +104,7 @@ def bench_video():
     best = min(best, time.perf_counter() - start)
   fps = n_mid / best
   print(json.dumps({
-      'metric': 'video_interpolated_1080p_fps_T%d' % times,
+      'metric': 'video_interpolated_%dp_fps_T%d' % (height, times),
       'value': round(fps, 3), 'unit': 'fps',
       'vs_baseline': round(fps / BASELINE_FPS, 3)}))
 
@@ -371,6 +376,13 @@ if __name__ == '__main__':
   mode = os.environ.get('BENCH_MODE', 'pair')
   try:
     if mode == 'video':
+      bench_video()
+    elif mode == 'video4k':
+      # The 4K tiled serving config: 2x2 patches, whole-tree program.
+      os.environ.setdefault('BENCH_HEIGHT', '2160')
+      os.environ.setdefault('BENCH_WIDTH', '3840')
+      os.environ.setdefault('BENCH_BLOCK', '2x2')
+      os.environ.setdefault('BENCH_FRAMES', '2')
       bench_video()
     elif mode == 'tiling4k':
       bench_tiling4k()

@@ -258,6 +258,10 @@ def interpolate_frontier_streaming(
     return
   tiled = (interpolator._block_shape is not None and
            int(np.prod(interpolator._block_shape)) > 1)
+  # Tiled expansion runs as one program too (the tree commutes with patch
+  # tiling — inference/cached_tree.py); only the legacy per-pair fallback
+  # (FI_TREE_CACHED=0) loops midpoints host-side without overlap.
+  tiled_legacy = tiled and os.environ.get('FI_TREE_CACHED', '1') == '0'
   pipeline_depth = max(1, int(pipeline_depth))
   if pairs_per_chunk is None:
     # depth+1 chunks are resident while the fetch of one overlaps the
@@ -266,7 +270,7 @@ def interpolate_frontier_streaming(
     frame_f32_nbytes = int(first.size) * 4
     pairs_per_chunk = frontier_pairs_per_chunk(
         frame_f32_nbytes, times_to_interpolate,
-        memory_budget_bytes if tiled
+        memory_budget_bytes if tiled_legacy
         else memory_budget_bytes // (pipeline_depth + 1))
 
   def chunks():
@@ -277,7 +281,7 @@ def interpolate_frontier_streaming(
       yield chunk, stop == n - 1
       boundary = chunk[-1]
 
-  if tiled:
+  if tiled_legacy:
     # Patch tiling is per-pair; no single-program expansion to overlap.
     for chunk, last in chunks():
       expanded = interpolate_frontier(chunk, times_to_interpolate,
@@ -365,11 +369,13 @@ def interpolate_frontier(
   import jax
   import jax.numpy as jnp
 
-  # Patch tiling is defined for single pairs; with tiling active each pair is
-  # already one batched (per-patch) device call, so fall through pair-by-pair.
+  # Patch tiling rides the single-program expansion too (the tree commutes
+  # with tiling — inference/cached_tree.py handles the fold/unfold
+  # in-program); FI_TREE_CACHED=0 restores the legacy per-pair loop.
   tiled = (interpolator._block_shape is not None and
            int(np.prod(interpolator._block_shape)) > 1)
-  if not tiled:
+  tiled_legacy = tiled and os.environ.get('FI_TREE_CACHED', '1') == '0'
+  if not tiled_legacy:
     # The ENTIRE expansion — every depth, its forward chunks, and the
     # time-order interleave — is one jitted device program: one dispatch,
     # one batched fetch. Per-midpoint device calls pay a dispatch

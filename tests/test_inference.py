@@ -292,3 +292,113 @@ class TestExpandTree:
     for i, frame in enumerate(ref):
       np.testing.assert_allclose(got[i], frame, atol=2e-6,
                                  err_msg=f'frame {i}')
+
+
+class TestCachedTree:
+  """The feature-cached DFS tree program (inference/cached_tree.py)."""
+
+  @pytest.mark.parametrize('times', [1, 2, 3, 5])
+  def test_schedule_invariants(self, times):
+    from frame_interpolation_tpu.inference.cached_tree import dfs_schedule
+    sched = dfs_schedule(times)
+    n_mids = 2**times - 1
+    assert len(sched['out_pos']) == n_mids
+    # Every interior position is emitted exactly once.
+    assert sorted(sched['out_pos'].tolist()) == list(range(1, 2**times))
+    # Leaves (final-depth midpoints) skip extraction; everything else
+    # extracts. 2^(T-1) leaves of 2^T - 1 midpoints.
+    assert int(sched['extract'].sum()) == n_mids - 2**max(times - 1, 0)
+    assert int(sched['m_slot'].max(initial=0)) < times + 2
+    # Replay the schedule against the midpoint-tree arithmetic: the
+    # midpoint at position p (s = largest power of two dividing p) has
+    # parents at p - s and p + s. Slots must hold exactly those frames at
+    # the time each step runs — this catches any slot-reuse lifetime bug.
+    slots = {0: 0, 1: 2**times}
+    for a, b, m, p in zip(sched['a_slot'], sched['b_slot'],
+                          sched['m_slot'], sched['out_pos']):
+      s = p & -p
+      assert slots.get(int(a)) == p - s, f'step at {p}: bad left parent'
+      assert slots.get(int(b)) == p + s, f'step at {p}: bad right parent'
+      slots[int(m)] = int(p)
+
+  # The cached program is a DIFFERENT XLA program from the chunked one
+  # (scan-DFS vs per-depth lax.map), so fusion choices can reassociate
+  # float math: agreement is to float noise (~1e-7 observed), not
+  # bit-exact. The semantics (which frames from which parents, crop/repad
+  # at every seam) are identical; quantization-rule byte-equality is
+  # pinned per-path elsewhere in this file.
+
+  @pytest.mark.parametrize('n_inputs,times', [(2, 1), (2, 3), (3, 2)])
+  def test_cached_matches_chunked(self, interp, n_inputs, times):
+    frames = np.stack(_frames(n_inputs, seed=21))
+    chunked = np.asarray(interp.expand_tree_device(frames, times,
+                                                   max_batch=2, cached=False))
+    cached = np.asarray(interp.expand_tree_device(frames, times, cached=True))
+    np.testing.assert_allclose(chunked, cached, atol=1e-6)
+
+  def test_cached_uint8(self, interp):
+    frames = np.stack(_frames(2, seed=22))
+    chunked = np.asarray(interp.expand_tree_device(frames, 2, max_batch=2,
+                                                   as_uint8=True,
+                                                   cached=False))
+    cached = np.asarray(interp.expand_tree_device(frames, 2, as_uint8=True,
+                                                  cached=True))
+    assert cached.dtype == np.uint8
+    # Float noise can flip a pixel sitting exactly on a quantization
+    # boundary by one level; anything larger is a real bug.
+    diff = np.abs(chunked.astype(np.int32) - cached.astype(np.int32))
+    assert diff.max() <= 1
+
+  def test_cached_uint8_matches_own_f32_quantized(self, interp):
+    # BYTE equality within the cached path: device uint8 == host
+    # quantization of the cached f32 output.
+    frames = np.stack(_frames(2, seed=22))
+    f32 = np.asarray(interp.expand_tree_device(frames, 2, cached=True))
+    quant = np.asarray(interp.expand_tree_device(frames, 2, as_uint8=True,
+                                                 cached=True))
+    np.testing.assert_array_equal(images.to_uint8(f32), quant)
+
+  def test_cached_unaligned_input(self, interp):
+    # Odd shape exercises the crop/re-pad seam inside the scan body.
+    rng = np.random.RandomState(23)
+    frames = rng.rand(2, 19, 27, 3).astype(np.float32)
+    chunked = np.asarray(interp.expand_tree_device(frames, 2, max_batch=2,
+                                                   cached=False))
+    cached = np.asarray(interp.expand_tree_device(frames, 2, cached=True))
+    np.testing.assert_allclose(chunked, cached, atol=1e-6)
+
+
+class TestTiledTree:
+  """Single-program tree expansion under patch tiling."""
+
+  @pytest.fixture(scope='class')
+  def tiled(self, interp):
+    return Interpolator(interp.params, OPTS, align=OPTS.align,
+                        block_shape=(2, 2))
+
+  def test_tiled_tree_matches_legacy_loop(self, tiled, monkeypatch):
+    frames = _frames(3, seed=31)
+    monkeypatch.setenv('FI_TREE_CACHED', '0')  # legacy per-pair loop
+    legacy = interpolate_frontier(frames, 2, tiled, max_batch=4)
+    monkeypatch.delenv('FI_TREE_CACHED')
+    program = interpolate_frontier(frames, 2, tiled, max_batch=4)
+    assert len(program) == len(legacy) == num_output_frames(3, 2)
+    for i, (a, b) in enumerate(zip(legacy, program)):
+      np.testing.assert_allclose(a, b, atol=1e-6, err_msg=f'frame {i}')
+
+  def test_tiled_tree_device_shape_and_uint8(self, tiled):
+    frames = np.stack(_frames(2, seed=32))
+    f32 = np.asarray(tiled.expand_tree_device(frames, 2))
+    quant = np.asarray(tiled.expand_tree_device(frames, 2, as_uint8=True))
+    assert f32.shape == (num_output_frames(2, 2),) + frames.shape[1:]
+    assert quant.dtype == np.uint8
+    np.testing.assert_array_equal(images.to_uint8(f32), quant)
+
+  def test_tiled_streaming_matches_full(self, tiled):
+    frames = _frames(3, seed=33)
+    full = interpolate_frontier(frames, 1, tiled, max_batch=4)
+    streamed = list(interpolate_frontier_streaming(
+        frames, 1, tiled, max_batch=4, pairs_per_chunk=1))
+    assert len(streamed) == len(full)
+    for i, (a, b) in enumerate(zip(full, streamed)):
+      np.testing.assert_allclose(a, b, atol=1e-6, err_msg=f'frame {i}')
