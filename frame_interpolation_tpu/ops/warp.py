@@ -36,11 +36,24 @@ import jax.numpy as jnp
 _FLOWGRAD_MODE = os.environ.get('FI_WARP_FLOWGRAD', 'planes')
 
 
-def _query_coords(h, w, flow):
-  """Returns clamped integer corners and fractional weights, all f32/int32."""
+def _query_coords(h, w, flow, row_offset=0):
+  """Returns clamped integer corners and fractional weights, all f32/int32.
+
+  The output grid comes from `flow`'s spatial shape; `h`/`w` are the
+  SOURCE bounds the taps clamp to. `row_offset` (static or traced scalar)
+  shifts the output grid's global row index — used by the row-sharded
+  warp, where each device holds a slab of the output rows but taps the
+  full-height source (ops/warp_window.backward_warp_window_rows).
+  Default arguments reproduce the classic same-shape warp exactly.
+  """
   flow = flow.astype(jnp.float32)
-  gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-  gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+  oh, ow = flow.shape[1], flow.shape[2]
+  gy = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
+  gx = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
+  if isinstance(row_offset, (int, float)):
+    gy = gy + float(row_offset)
+  else:
+    gy = gy + row_offset.astype(jnp.float32)
   qy = gy[None] + flow[..., 1]
   qx = gx[None] + flow[..., 0]
   # tfa boundary rule: floor clamped to [0, size-2], alpha clamped to [0, 1].
@@ -72,7 +85,34 @@ def backward_warp_impl(image: jnp.ndarray, flow: jnp.ndarray,
   if impl == 'window':
     from .warp_window import backward_warp_window
     return backward_warp_window(image, flow)
+  if impl == 'window_rows':
+    from .warp_window import backward_warp_window_rows
+    return backward_warp_window_rows(image, flow)
   return backward_warp(image, flow)
+
+
+# (mesh, axis_name) installed by parallel.inference.SpatialShardedInterpolator
+# while tracing its row-sharded forward; consumed by the 'window_rows' warp
+# impl. Tracing-time state only — the jitted executable bakes the mesh in.
+_SPMD_ROWS = None
+
+
+class spmd_rows_mesh:
+  """Context manager declaring the mesh/axis a row-sharded forward runs on."""
+
+  def __init__(self, mesh, axis_name):
+    self._value = (mesh, axis_name)
+
+  def __enter__(self):
+    global _SPMD_ROWS
+    self._saved = _SPMD_ROWS
+    _SPMD_ROWS = self._value
+    return self._value
+
+  def __exit__(self, *exc):
+    global _SPMD_ROWS
+    _SPMD_ROWS = self._saved
+    return False
 
 
 

@@ -345,26 +345,37 @@ def _channel_block(c: int, plane_dtype, g: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'g'))
 def _forward(image: jnp.ndarray, flow: jnp.ndarray,
-             interpret: bool = False, g: int = 1) -> jnp.ndarray:
-  """Warp for a batch: image (B, H, W, C), flow (B, H, W, 2).
+             interpret: bool = False, g: int = 1,
+             row_offset=0) -> jnp.ndarray:
+  """Warp for a batch: image (B, H, W, C), flow (B, Hout, W, 2).
 
   The whole batch runs as ONE pallas_call: the grid gains a leading batch
   dimension and the HBM planes collapse batch into the channel axis, so a
   batched forward contains one kernel instantiation per warp site instead
   of B (material for XLA program size / compile time of batched serving
   and training programs, and for dispatch overhead).
+
+  The output grid is `flow`'s grid; normally Hout == H. The row-sharded
+  variant (backward_warp_window_rows) passes a SLAB of output rows
+  against the full-height source: `row_offset` (a traced scalar) is the
+  slab's global first row, added to the query rows so taps index — and
+  clamp against — the full source. The kernel body is row-origin-
+  agnostic (window origins and displacement ranges are all computed from
+  the query maps), so only the plane guard padding changes.
   """
   bsz, h, w, c = image.shape
+  h_out = flow.shape[1]
+  assert flow.shape[2] == w, (flow.shape, image.shape)
   out_dtype = image.dtype
-  iy, ix, ay, ax = _query_coords(h, w, flow)
+  iy, ix, ay, ax = _query_coords(h, w, flow, row_offset)
 
   gh = g * _TH
-  hp = _round_up(h, gh)
+  hp = _round_up(h_out, gh)
   wp = _round_up(w, _TW)
   n_tg = hp // gh
   n_tx = wp // _TW
   # Edge-pad the index maps so padded lanes never inflate a group's window.
-  pads = ((0, 0), (0, hp - h), (0, wp - w))
+  pads = ((0, 0), (0, hp - h_out), (0, wp - w))
   iy = jnp.pad(iy, pads, mode='edge')
   ix = jnp.pad(ix, pads, mode='edge')
   ay = jnp.pad(ay, pads, mode='edge')
@@ -381,14 +392,16 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
   # Planar source in the IMAGE dtype (bf16 halves the dominant window/
   # transpose HBM traffic on this ~139 GB/s chip; f32 images behave as
   # before), padded so every window DMA stays in bounds: 8 guard rows on
-  # top (negative-displacement blocks can start at row -8) and
-  # hp + 8g + 24 - h below (the last walked window origin is at most
-  # align8(max load start) <= h + 6 and extends 8g + 16 rows); 128-col
-  # windows never cross round128(w). Non-float images warp in f32.
+  # top (negative-displacement blocks can start at row -8) and guards
+  # below sized from the SOURCE height (the last walked window origin is
+  # at most align(max clamped tap row) <= round_up(h, gh) and extends
+  # 8g + 16 rows); 128-col windows never cross round128(w). Non-float
+  # images warp in f32.
   planes = jnp.transpose(image.astype(plane_dtype), (0, 3, 1, 2))
-  pad_bot = hp + 8 * g + 24 - h
+  hp_src = _round_up(h, gh)
+  pad_bot = hp_src + 8 * g + 24 - h
   planes = jnp.pad(planes, ((0, 0), (0, cp - c), (8, pad_bot), (0, wp - w)))
-  planes = planes.reshape(bsz * cp, hp + 8 * g + 32, wp)
+  planes = planes.reshape(bsz * cp, hp_src + 8 * g + 32, wp)
 
   n_sp = n_tg * n_tx
   needs_expand = plane_dtype != jnp.float32
@@ -423,7 +436,7 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
       out_shape=jax.ShapeDtypeStruct((bsz, cp, hp, wp), out_dtype),
       interpret=interpret,
   )(by, bx, iy, ix, ay, ax, planes)
-  return jnp.transpose(out[:, :c, :h, :w], (0, 2, 3, 1))
+  return jnp.transpose(out[:, :c, :h_out, :w], (0, 2, 3, 1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -460,3 +473,55 @@ def _bwd(interpret, residuals, g):
 
 
 backward_warp_window.defvjp(_fwd, _bwd)
+
+
+def backward_warp_window_rows(image: jnp.ndarray,
+                              flow: jnp.ndarray) -> jnp.ndarray:
+  """Row-sharded window warp for spatially-sharded (GSPMD) forwards.
+
+  The Pallas window kernel carries no SPMD partitioning rules, so a
+  GSPMD-partitioned forward previously had to fall back to the ~4.5x
+  slower XLA gather at every warp site (parallel/inference.py round 3).
+  This wrapper keeps the kernel: inside `jax.shard_map` over the mesh
+  declared by ops.warp.spmd_rows_mesh, each device all-gathers the source
+  plane rows (taps are data-dependent and, at 8-way sharding of 1080p,
+  the tap range exceeds a neighbor halo — the gather fallback's GSPMD
+  partition moves the same bytes) and runs the kernel on its LOCAL slab
+  of output rows via the `row_offset` query shift — compute stays 1/n per
+  device, clamping semantics stay exactly the full-frame ones.
+
+  Falls back to the plain gather warp (which GSPMD partitions cleanly)
+  when no mesh context is installed, when the rows do not divide evenly,
+  or when the plane is too small for the kernel to win (mirrors the
+  'auto' routing thresholds).
+
+  Inference-only: no custom VJP (the spatially-sharded path is a serving
+  latency play; training shards the batch, not rows).
+  """
+  from . import warp as warp_lib
+
+  ctx = warp_lib._SPMD_ROWS
+  h, w = image.shape[1], image.shape[2]
+  if ctx is None:
+    return warp_lib.backward_warp(image, flow)
+  mesh, axis = ctx
+  n = int(mesh.shape[axis])
+  if h % n != 0 or h < 64 or w < 256:
+    return warp_lib.backward_warp(image, flow)
+  try:
+    platform = jax.devices()[0].platform
+  except Exception:  # pragma: no cover - no backend configured
+    platform = 'cpu'
+  interpret = platform != 'tpu'
+  g = _group_from_env()
+  slab = h // n
+  import jax.sharding as shd
+  spec = shd.PartitionSpec(None, axis)
+
+  def per_shard(img, flo):
+    full = jax.lax.all_gather(img, axis, axis=1, tiled=True)
+    row0 = jax.lax.axis_index(axis) * slab
+    return _forward(full, flo, interpret, g=g, row_offset=row0)
+
+  return jax.shard_map(per_shard, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=spec, check_vma=False)(image, flow)

@@ -40,9 +40,13 @@ class Options:
       compute in bf16, flow/warp coordinate math stays f32).
     warp_impl: backward-warp implementation — 'gather' (XLA 2-slice
       gather formulation, ops/warp.py), 'window' (two-level window-DMA
-      Pallas kernel, ops/warp_window.py; TPU only), or 'auto' (window on
-      TPU for levels large enough to benefit, gather elsewhere). All
-      choices are numerically equivalent (pinned in tests).
+      Pallas kernel, ops/warp_window.py; TPU only), 'auto' (window on
+      TPU for levels large enough to benefit, gather elsewhere), or
+      'window_rows' (the window kernel under row-sharded SPMD forwards:
+      each device warps its output-row slab against the all-gathered
+      source — parallel/inference.SpatialShardedInterpolator; falls back
+      to gather for small planes or outside a spmd_rows_mesh context).
+      All choices are numerically equivalent (pinned in tests).
     fold_convs: W-folded (space-to-channel) execution of sub-128-channel
       conv stacks (ops/folded_conv.py) — 'auto' (fold wide layers where
       XLA's 128-lane padding would inflate HBM traffic), 'on' (fold every
@@ -68,7 +72,7 @@ class Options:
           'fusion_pyramid_levels.')
     if self.dtype_policy not in ('float32', 'bfloat16'):
       raise ValueError(f'Unknown dtype_policy: {self.dtype_policy}')
-    if self.warp_impl not in ('gather', 'window', 'auto'):
+    if self.warp_impl not in ('gather', 'window', 'auto', 'window_rows'):
       raise ValueError(f'Unknown warp_impl: {self.warp_impl}')
     if self.fold_convs not in ('auto', 'on', 'off'):
       raise ValueError(f'Unknown fold_convs: {self.fold_convs}')

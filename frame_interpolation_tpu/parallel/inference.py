@@ -25,24 +25,6 @@ from ..options import Options
 from . import mesh as mesh_lib
 
 
-def _gather_warp(options: Options) -> Options:
-  """Forces the XLA gather warp for GSPMD-partitioned forwards.
-
-  The Pallas window-warp custom call carries no SPMD partitioning rules,
-  so GSPMD cannot split it over operands that are sharded WITHIN one
-  logical forward — the spatially-sharded (row-split) interpolator must
-  run the plain-XLA gather formulation, which partitions cleanly. The
-  batch-sharded classes don't need this: they wrap the whole per-shard
-  forward in jax.shard_map, so every device runs an unsharded forward on
-  its local batch and the window kernel stays available (see
-  `_shard_mapped`).
-  """
-  import dataclasses
-  if options.warp_impl != 'gather':
-    options = dataclasses.replace(options, warp_impl='gather')
-  return options
-
-
 def _shard_mapped(fn, mesh, n_array_args: int):
   """Runs `fn` per-device on the local batch shard via jax.shard_map.
 
@@ -227,10 +209,18 @@ class SpatialShardedInterpolator:
   exactly like the reference's block mode (eval/interpolator.py:192-206);
   this class instead shards the ROWS of a single full-frame forward over
   the mesh and lets XLA GSPMD insert the halo exchanges for convs, pools,
-  resizes, and warp gathers — the output is the full-frame result,
-  bit-comparable to one big chip. The warp must run the XLA gather
-  formulation (Pallas custom calls carry no SPMD partitioning rules), so
-  construction overrides warp_impl='gather'.
+  and resizes — the output is the full-frame result, bit-comparable to
+  one big chip.
+
+  Warps keep the Pallas window kernel (warp_impl='window_rows',
+  ops/warp_window.backward_warp_window_rows): each warp site drops into a
+  shard_map where every device all-gathers the source rows and warps its
+  LOCAL slab of output rows — full-frame clamping semantics, 1/n of the
+  warp compute per device. (GSPMD cannot partition the Pallas custom
+  call itself, which previously forced the ~4.5x slower XLA gather at
+  every site.) Small planes still route to the gather, which GSPMD
+  partitions cleanly. `warp_impl='gather'` remains available via the
+  options for comparison.
 
   This is the multi-chip latency play: throughput scales with chips via
   batch/patch/video sharding; spatial sharding is how a SINGLE frame's
@@ -239,7 +229,12 @@ class SpatialShardedInterpolator:
 
   def __init__(self, params: Any, options: Options, mesh,
                align: Optional[int] = 64):
-    options = _gather_warp(options)
+    import dataclasses
+    if options.warp_impl != 'window_rows':
+      # All warp impls are numerically equivalent; 'window_rows' keeps
+      # the Pallas kernel wherever it applies and IS the gather for
+      # small planes, so it supersedes any single-chip choice here.
+      options = dataclasses.replace(options, warp_impl='window_rows')
     self._options = options
     self._mesh = mesh
     self._align = align
@@ -272,8 +267,12 @@ class SpatialShardedInterpolator:
   def __call__(self, x0: np.ndarray, x1: np.ndarray,
                dt: np.ndarray) -> np.ndarray:
     """Interpolates one (1, H, W, 3) pair with rows sharded over the mesh."""
+    from ..ops import warp as warp_lib
     x0 = jnp.asarray(x0, jnp.float32)
     x1 = jnp.asarray(x1, jnp.float32)
     time = jnp.asarray(dt, jnp.float32).reshape(1, 1)
-    return np.asarray(self._forward(self._params, x0, x1, time,
-                                    self._align))
+    # The mesh context feeds the 'window_rows' warp sites at TRACE time
+    # (the compiled executable bakes it in; re-entry is a cache hit).
+    with warp_lib.spmd_rows_mesh(self._mesh, mesh_lib.DATA_AXIS):
+      out = self._forward(self._params, x0, x1, time, self._align)
+    return np.asarray(out)

@@ -62,14 +62,18 @@ def test_sharded_video_tree_matches_single_device():
   frames = (rng.rand(3, h, w, 3) * 255).astype(np.uint8)
   single = Interpolator(params, OPTS, align=OPTS.align)
   sharded = ShardedVideoInterpolator(params, OPTS, mesh, align=OPTS.align)
+  # cached=False: the sharded program is the chunked one; byte equality
+  # is the contract between the SAME program sharded vs unsharded. (The
+  # feature-cached single-chip default is a different XLA program, equal
+  # only to float noise — pinned in test_inference.py.)
   want = np.asarray(single.expand_tree_device(frames, 3, max_batch=8,
-                                              as_uint8=True))
+                                              as_uint8=True, cached=False))
   got = np.asarray(sharded.expand_tree_device(frames, 3, as_uint8=True))
   assert got.shape == want.shape == (2 * 2**3 + 1, h, w, 3)
   np.testing.assert_array_equal(got, want)
 
 
-def test_sharded_video_drives_streaming_frontier():
+def test_sharded_video_drives_streaming_frontier(monkeypatch):
   # The sharded interpolator is a drop-in for the streaming video driver.
   from frame_interpolation_tpu.inference import (
       interpolate_frontier_streaming)
@@ -82,6 +86,9 @@ def test_sharded_video_drives_streaming_frontier():
   frames = [(rng.rand(h, w, 3) * 255).astype(np.uint8) for _ in range(3)]
   single = Interpolator(params, OPTS, align=OPTS.align)
   sharded = ShardedVideoInterpolator(params, OPTS, mesh, align=OPTS.align)
+  # Chunked program on both sides (the sharded tree is the chunked one);
+  # cached-vs-chunked float-noise tolerance is pinned in test_inference.
+  monkeypatch.setenv('FI_TREE_CACHED', '0')
   want = list(interpolate_frontier_streaming(frames, 2, single,
                                              as_uint8=True))
   got = list(interpolate_frontier_streaming(frames, 2, sharded,
@@ -140,6 +147,71 @@ def test_window_warp_kernel_runs_inside_shard_map():
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+def test_window_rows_warp_matches_gather():
+  # The row-sharded window warp (ops/warp_window.backward_warp_window_rows)
+  # must reproduce the full-frame gather warp: each device all-gathers the
+  # source rows and warps its local slab of output rows.
+  import jax.numpy as jnp
+  from frame_interpolation_tpu.ops import warp
+  from frame_interpolation_tpu.parallel import mesh as mesh_lib
+
+  rng = np.random.RandomState(6)
+  mesh = create_mesh(jax.devices())
+  img = jnp.asarray(rng.rand(1, 64, 256, 3), np.float32)
+  flow = jnp.asarray((rng.rand(1, 64, 256, 2) - 0.5) * 40, np.float32)
+
+  with warp.spmd_rows_mesh(mesh, mesh_lib.DATA_AXIS):
+    got = jax.jit(
+        lambda i, f: warp.backward_warp_impl(i, f, 'window_rows'))(img, flow)
+  want = warp.backward_warp(img, flow)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_window_rows_falls_back_without_context_and_on_small_planes():
+  import jax.numpy as jnp
+  from frame_interpolation_tpu.ops import warp
+  from frame_interpolation_tpu.parallel import mesh as mesh_lib
+
+  rng = np.random.RandomState(7)
+  # No context installed: plain gather path.
+  img = jnp.asarray(rng.rand(1, 64, 256, 3), np.float32)
+  flow = jnp.asarray((rng.rand(1, 64, 256, 2) - 0.5) * 10, np.float32)
+  got = warp.backward_warp_impl(img, flow, 'window_rows')
+  np.testing.assert_array_equal(np.asarray(got),
+                                np.asarray(warp.backward_warp(img, flow)))
+  # Context installed but the plane is too small: gather (GSPMD handles).
+  mesh = create_mesh(jax.devices())
+  small = jnp.asarray(rng.rand(1, 16, 24, 3), np.float32)
+  sflow = jnp.asarray((rng.rand(1, 16, 24, 2) - 0.5) * 4, np.float32)
+  with warp.spmd_rows_mesh(mesh, mesh_lib.DATA_AXIS):
+    got = warp.backward_warp_impl(small, sflow, 'window_rows')
+  np.testing.assert_array_equal(np.asarray(got),
+                                np.asarray(warp.backward_warp(small, sflow)))
+
+
+def test_spatial_sharded_window_rows_matches_single_device():
+  # The spatially-sharded interpolator with the row-sharded window warp
+  # (its default) must match the single-device full-frame forward. Frame
+  # sized so the finest level engages the kernel (h=128 >= 64, w=256,
+  # 128 rows / 8 devices); coarser levels route to the partitioned gather.
+  from frame_interpolation_tpu.parallel.inference import (
+      SpatialShardedInterpolator)
+  rng = np.random.RandomState(8)
+  params = init_params(FilmNet(OPTS), jax.random.PRNGKey(0))
+  mesh = create_mesh(jax.devices())
+  h, w = 128, 256
+  x0 = rng.rand(1, h, w, 3).astype(np.float32)
+  x1 = rng.rand(1, h, w, 3).astype(np.float32)
+  dt = np.array([0.5], np.float32)
+  sharded = SpatialShardedInterpolator(params, OPTS, mesh, align=OPTS.align)
+  assert sharded._options.warp_impl == 'window_rows'
+  single = Interpolator(params, OPTS, align=OPTS.align)
+  out_sharded = sharded(x0, x1, dt)
+  out_single = single(x0, x1, dt)
+  assert out_sharded.shape == (1, h, w, 3)
+  np.testing.assert_allclose(out_sharded, out_single, atol=1e-5, rtol=1e-5)
+
+
 def test_interpolate_dir_cli_mesh_data(tmp_path):
   # --mesh data on the dir CLI routes through ShardedVideoInterpolator;
   # outputs must be byte-identical to the single-device run.
@@ -174,7 +246,15 @@ def test_interpolate_dir_cli_mesh_data(tmp_path):
     assert len(out) == 5
     return [images.read_image(str(p)) for p in out]
 
-  single = run('none', 'single')
+  import os
+  # Chunked tree on the single-device side: --mesh data shards the
+  # chunked program, and byte equality is the same-program contract
+  # (the cached default differs by float noise — test_inference.py).
+  os.environ['FI_TREE_CACHED'] = '0'
+  try:
+    single = run('none', 'single')
+  finally:
+    del os.environ['FI_TREE_CACHED']
   sharded = run('data', 'sharded')
   for a, b in zip(single, sharded):
     np.testing.assert_array_equal(a, b)

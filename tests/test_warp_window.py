@@ -159,6 +159,49 @@ class TestGroupEnvValidation:
     _check(img, flow)
 
 
+class TestRowSlabForward:
+  """The row_offset slab variant (spatial-sharding support)."""
+
+  @pytest.mark.parametrize('r0', [0, 8, 24])
+  def test_slab_matches_full_rows(self, r0):
+    # Warping a slab of output rows against the full source must equal
+    # the corresponding rows of the full warp bit for bit (same taps,
+    # same clamps; only the query grid is offset).
+    rng = np.random.RandomState(13)
+    img = jnp.asarray(rng.rand(2, 40, 136, 5), jnp.float32)
+    flow = jnp.asarray((rng.rand(2, 40, 136, 2) - 0.5) * 25, jnp.float32)
+    full = warp_window._forward(img, flow, True, g=1)
+    slab = warp_window._forward(img, flow[:, r0:r0 + 8], True, g=1,
+                                row_offset=r0)
+    np.testing.assert_array_equal(np.asarray(slab),
+                                  np.asarray(full[:, r0:r0 + 8]))
+
+  def test_slab_out_of_bounds_clamps_to_full_frame(self):
+    # A slab in the middle of the frame with flows pointing far outside
+    # it must clamp against the FULL frame edges, not the slab's.
+    rng = np.random.RandomState(14)
+    img = jnp.asarray(rng.rand(1, 48, 130, 3), jnp.float32)
+    flow = jnp.asarray((rng.rand(1, 48, 130, 2) - 0.5) * 300, jnp.float32)
+    full = np.asarray(warp.backward_warp(img, flow))
+    slab = warp_window._forward(img, flow[:, 16:32], True, g=1,
+                                row_offset=16)
+    np.testing.assert_allclose(np.asarray(slab), full[:, 16:32], atol=1e-6)
+
+  def test_traced_row_offset(self):
+    # row_offset arrives as a traced scalar under shard_map (axis_index).
+    rng = np.random.RandomState(15)
+    img = jnp.asarray(rng.rand(1, 32, 132, 3), jnp.float32)
+    flow = jnp.asarray((rng.rand(1, 32, 132, 2) - 0.5) * 9, jnp.float32)
+    full = warp_window._forward(img, flow, True, g=1)
+
+    def slab_at(r0):
+      return warp_window._forward(img, flow[:, 8:16], True, g=1,
+                                  row_offset=r0)
+
+    got = jax.jit(slab_at)(jnp.int32(8))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(full[:, 8:16]))
+
+
 def test_pair_impl_matches_separate_calls(monkeypatch):
   # backward_warp_pair_impl's batched window path must reproduce two
   # separate per-direction kernel calls bit for bit (the kernel computes
