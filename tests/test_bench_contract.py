@@ -51,3 +51,12 @@ def test_bench_modes_are_defined(bench):
   # Every BENCH_MODE the docs/driver reference must exist.
   for fn in ['main', 'bench_video', 'bench_tiling4k', 'bench_train']:
     assert callable(getattr(bench, fn))
+
+
+def test_video4k_mode_reuses_bench_video(bench):
+  # BENCH_MODE=video4k is bench_video with 4K/tiled defaults; the mode
+  # dispatch must reference it.
+  import inspect
+  src = inspect.getsource(bench)
+  assert "'video4k'" in src
+  assert 'BENCH_BLOCK' in inspect.getsource(bench.bench_video)
