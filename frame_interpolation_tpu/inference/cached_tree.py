@@ -171,14 +171,19 @@ def expand_tree_cached_program(model, params, frames: jnp.ndarray, times: int,
       out = jax.lax.dynamic_update_index_in_dim(out, quantize(cropped[0]),
                                                 pos, 0)
       if times > 1:
-        def with_features(stk):
+        # The cond selects only the feature VALUE; the stack update runs
+        # unconditionally. Putting the cond around the stack itself (a
+        # carry passthrough in the false branch) risks XLA copying the
+        # multi-GB carry every step instead of aliasing it in place.
+        def extract_mid():
           if align is not None:
             repadded, _ = tiling.pad_to_align(cropped, align)
           else:
             repadded = cropped
-          return write_slot(stk, extract(repadded), m_slot)
+          return extract(repadded)
 
-        stack = jax.lax.cond(needs_feat, with_features, lambda s: s, stack)
+        feats = jax.lax.cond(needs_feat, extract_mid, lambda: f0)
+        stack = write_slot(stack, feats, m_slot)
       return (stack, out), None
 
     (_, out), _ = jax.lax.scan(step, (stack, out), xs)
