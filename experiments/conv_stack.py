@@ -134,16 +134,20 @@ def _stack_kernel(xflat, wc_ref, ws_ref, b_ref, out_ref, pool_ref, buf, sem,
       acc += jnp.dot(xc, wc_ref[ky], preferred_element_type=jnp.float32)
       xl = buf[slot, pl.ds(base - 1, cm), :]
       xr = buf[slot, pl.ds(base + 1, cm), :]
+      # Mosaic's lane rotate is 32-bit-only ("Rotate with non-32-bit
+      # data"), so the 64-lane shuffle runs on an f32 copy; bf16->f32->
+      # bf16 is exact.
       if side == 'combined':
         # S[i<64] = xl[i+64], S[i>=64] = xr[i-64]: select THEN one roll.
-        s_val = pltpu.roll(jnp.where(lane < 64, xr, xl), 64, 1)
+        sel = jnp.where(lane < 64, xr, xl).astype(jnp.float32)
+        s_val = pltpu.roll(sel, 64, 1).astype(xc.dtype)
         acc += jnp.dot(s_val, ws_ref[ky],
                        preferred_element_type=jnp.float32)
       else:
-        sl = jnp.where(lane < 64, pltpu.roll(xl, 64, 1),
-                       jnp.zeros_like(xl))
-        sr = jnp.where(lane >= 64, pltpu.roll(xr, 64, 1),
-                       jnp.zeros_like(xr))
+        xl32 = pltpu.roll(xl.astype(jnp.float32), 64, 1).astype(xc.dtype)
+        xr32 = pltpu.roll(xr.astype(jnp.float32), 64, 1).astype(xc.dtype)
+        sl = jnp.where(lane < 64, xl32, jnp.zeros_like(xl))
+        sr = jnp.where(lane >= 64, xr32, jnp.zeros_like(xr))
         acc += jnp.dot(sl, ws_ref[ky], preferred_element_type=jnp.float32)
         acc += jnp.dot(sr, ws_ref[ky], preferred_element_type=jnp.float32)
     value = acc + b_ref[:]
@@ -274,7 +278,9 @@ def main():
       xf, acc = carry
       f, p = conv_stack_flat(xf, wc, ws, b2, h=h, w=width, tm=tm,
                              side=side, emit_pool=emit_pool)
-      return f, acc + jnp.sum(p[:8].astype(jnp.float32))
+      if emit_pool:
+        acc = acc + jnp.sum(p[:8].astype(jnp.float32))
+      return f, acc
 
     yf, acc = jax.lax.fori_loop(0, n_iter, body, (xflat, 0.0))
     return jnp.sum(yf.astype(jnp.float32)) + acc
