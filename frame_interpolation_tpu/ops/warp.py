@@ -36,15 +36,13 @@ import jax.numpy as jnp
 _FLOWGRAD_MODE = os.environ.get('FI_WARP_FLOWGRAD', 'planes')
 
 
-def _query_coords(h, w, flow, row_offset=0):
-  """Returns clamped integer corners and fractional weights, all f32/int32.
+def _query_coords_full(h, w, flow, row_offset=0):
+  """_query_coords plus the RAW (pre-clip) fractional offsets ty/tx.
 
-  The output grid comes from `flow`'s spatial shape; `h`/`w` are the
-  SOURCE bounds the taps clamp to. `row_offset` (static or traced scalar)
-  shifts the output grid's global row index — used by the row-sharded
-  warp, where each device holds a slab of the output rows but taps the
-  full-height source (ops/warp_window.backward_warp_window_rows).
-  Default arguments reproduce the classic same-shape warp exactly.
+  ty/tx feed the analytically-computed flow-derivative planes: the
+  derivative of the clipped alpha w.r.t. the flow is the clip gradient
+  of the raw offset (1 inside (0, 1), 0.5 exactly at the clip
+  boundaries — JAX's min/max tie rule — and 0 outside).
   """
   flow = flow.astype(jnp.float32)
   oh, ow = flow.shape[1], flow.shape[2]
@@ -59,9 +57,24 @@ def _query_coords(h, w, flow, row_offset=0):
   # tfa boundary rule: floor clamped to [0, size-2], alpha clamped to [0, 1].
   fy = jnp.clip(jnp.floor(qy), 0.0, float(h - 2))
   fx = jnp.clip(jnp.floor(qx), 0.0, float(w - 2))
-  ay = jnp.clip(qy - fy, 0.0, 1.0)
-  ax = jnp.clip(qx - fx, 0.0, 1.0)
-  return fy.astype(jnp.int32), fx.astype(jnp.int32), ay, ax
+  ty = qy - fy
+  tx = qx - fx
+  ay = jnp.clip(ty, 0.0, 1.0)
+  ax = jnp.clip(tx, 0.0, 1.0)
+  return fy.astype(jnp.int32), fx.astype(jnp.int32), ay, ax, ty, tx
+
+
+def _query_coords(h, w, flow, row_offset=0):
+  """Returns clamped integer corners and fractional weights, all f32/int32.
+
+  The output grid comes from `flow`'s spatial shape; `h`/`w` are the
+  SOURCE bounds the taps clamp to. `row_offset` (static or traced scalar)
+  shifts the output grid's global row index — used by the row-sharded
+  warp, where each device holds a slab of the output rows but taps the
+  full-height source (ops/warp_window.backward_warp_window_rows).
+  Default arguments reproduce the classic same-shape warp exactly.
+  """
+  return _query_coords_full(h, w, flow, row_offset)[:4]
 
 
 def backward_warp_impl(image: jnp.ndarray, flow: jnp.ndarray,
@@ -187,26 +200,67 @@ def backward_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
   return _backward_warp_raw(image, flow)
 
 
+def _raw_and_planes(image, flow):
+  """The gather forward PLUS analytic flow-derivative planes (du, dv).
+
+  Same gathers, same blend expression tree as `_backward_warp_raw` (the
+  primal values are bit-identical); du/dv are assembled from the SAME
+  tap values instead of via jax.linearize — the round-3 'planes' mode
+  linearized the whole gather formulation, and XLA did NOT share the
+  tangent's gathers with the primal's (8 x 6.9 ms of redundant gather
+  fusions per train step in the round-4 profile). The clip-boundary
+  derivative matches JAX autodiff exactly: 1 strictly inside (0, 1),
+  0.5 at 0 or 1 (lax min/max tie rule), 0 outside.
+  """
+  b, h, w, c = image.shape
+  compute_dtype = image.dtype
+  iy, ix, ay, ax, ty, tx = _query_coords_full(h, w, flow)
+
+  pixels = image.reshape(b, h * w, c)
+  start_top = (iy * w + ix).reshape(b, h * w)
+  dnums = jax.lax.GatherDimensionNumbers(
+      offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+
+  def gather_pairs(pixels_b, starts_b):
+    return jax.lax.gather(pixels_b, starts_b[:, None], dnums,
+                          slice_sizes=(2, c), mode='clip')
+
+  top2 = jax.vmap(gather_pairs)(pixels, start_top).reshape(b, h, w, 2, c)
+  bot2 = jax.vmap(gather_pairs)(pixels, start_top + w).reshape(b, h, w, 2, c)
+
+  blend_dtype = compute_dtype if jnp.issubdtype(compute_dtype,
+                                                jnp.floating) else jnp.float32
+  top2 = top2.astype(blend_dtype)
+  bot2 = bot2.astype(blend_dtype)
+  ax = ax.astype(blend_dtype)[..., None]
+  ay = ay.astype(blend_dtype)[..., None]
+  dtop = top2[..., 1, :] - top2[..., 0, :]
+  dbot = bot2[..., 1, :] - bot2[..., 0, :]
+  top = top2[..., 0, :] + dtop * ax
+  bot = bot2[..., 0, :] + dbot * ax
+  out = top + (bot - top) * ay
+
+  def clip_grad(t):
+    inner = ((t > 0.0) & (t < 1.0)).astype(jnp.float32)
+    edge = ((t == 0.0) | (t == 1.0)).astype(jnp.float32)
+    return (inner + 0.5 * edge).astype(blend_dtype)[..., None]
+
+  du = (dtop + (dbot - dtop) * ay) * clip_grad(tx)
+  dv = (bot - top) * clip_grad(ty)
+  return (out.astype(compute_dtype), du.astype(compute_dtype),
+          dv.astype(compute_dtype))
+
+
 def _backward_warp_fwd(image, flow):
   # Save the two flow-derivative planes (du = d out/d flow_x, dv =
-  # d out/d flow_y) as residuals: the tangent of the gather formulation
-  # flows only through the bilinear weights, so jax.linearize shares the
-  # primal's gathers and du/dv cost a few fused elementwise ops here —
-  # while the backward's flow cotangent becomes a multiply-reduce instead
-  # of XLA's re-gathering transpose (measured 6.9 ms per warp site at
-  # bs8 256px, ~55 ms of the train step, vs ~2.6 ms of extra residual
-  # traffic).
+  # d out/d flow_y) as residuals, computed from the primal's OWN gathered
+  # taps (_raw_and_planes): the backward's flow cotangent becomes an
+  # elementwise multiply-reduce, and the forward pays only the du/dv
+  # plane writes (FI_WARP_FLOWGRAD=regather restores XLA's re-gathering
+  # transpose for A/B).
   if _FLOWGRAD_MODE != 'planes':
     return _backward_warp_raw(image, flow), (image, flow, None, None)
-
-  def warp_of_flow(f):
-    return _backward_warp_raw(image, f)
-
-  out, lin = jax.linearize(warp_of_flow, flow)
-  ones = jnp.ones(flow.shape[:-1], flow.dtype)
-  zeros = jnp.zeros_like(ones)
-  du = lin(jnp.stack([ones, zeros], axis=-1))
-  dv = lin(jnp.stack([zeros, ones], axis=-1))
+  out, du, dv = _raw_and_planes(image, flow)
   return out, (image, flow, du, dv)
 
 

@@ -261,3 +261,30 @@ class TestAdjointConsistency:
     _, vjp = jax.vjp(lambda f: warp.backward_warp(x, f), flow)
     g_flow, = vjp(g)
     np.testing.assert_allclose(_dot(tangent, g), _dot(df, g_flow), rtol=1e-4)
+
+  @pytest.mark.parametrize('flow_kind', ['random', 'integer', 'huge'])
+  def test_analytic_planes_match_linearize(self, flow_kind):
+    # The derivative planes assembled from the primal's own taps
+    # (_raw_and_planes) must equal jax.linearize of the gather
+    # formulation — INCLUDING the clip-boundary tie rule (0.5 at exact
+    # integer coordinates and at clamped edges, JAX's min/max semantics).
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.rand(2, 9, 11, 3).astype(np.float32))
+    if flow_kind == 'integer':
+      flow = jnp.asarray(
+          rng.randint(-4, 5, (2, 9, 11, 2)).astype(np.float32))
+    elif flow_kind == 'huge':
+      flow = jnp.asarray(((rng.rand(2, 9, 11, 2) - 0.5)
+                          * 300).astype(np.float32))
+    else:
+      flow = jnp.asarray(((rng.rand(2, 9, 11, 2) - 0.5)
+                          * 7).astype(np.float32))
+    out, du, dv = warp._raw_and_planes(x, flow)
+    out2, lin = jax.linearize(lambda f: warp._backward_warp_raw(x, f), flow)
+    ones = jnp.ones(flow.shape[:-1], jnp.float32)
+    zeros = jnp.zeros_like(ones)
+    du2 = lin(jnp.stack([ones, zeros], axis=-1))
+    dv2 = lin(jnp.stack([zeros, ones], axis=-1))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    np.testing.assert_allclose(np.asarray(du), np.asarray(du2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv2), atol=1e-5)
