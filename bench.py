@@ -65,7 +65,8 @@ def bench_video():
   options = Options.film_net_released(
       dtype_policy=dtype_policy, use_aux_outputs=False,
       warp_impl=warp_impl,
-      fold_convs=os.environ.get('BENCH_FOLD', 'auto'))
+      fold_convs=os.environ.get('BENCH_FOLD', 'auto'),
+      conv_stack=os.environ.get('BENCH_STACK', 'auto'))
   model = FilmNet(options)
   params = init_params(model, jax.random.PRNGKey(0))
   interp = Interpolator(params, options, align=64, block_shape=block_shape)
@@ -294,9 +295,10 @@ def main():
   width = int(os.environ.get('BENCH_WIDTH', '1920'))
 
   warp_impl = os.environ.get('BENCH_WARP', 'window')
-  options = Options.film_net_released(dtype_policy=dtype_policy,
-                                      use_aux_outputs=False,
-                                      warp_impl=warp_impl)
+  options = Options.film_net_released(
+      dtype_policy=dtype_policy, use_aux_outputs=False, warp_impl=warp_impl,
+      fold_convs=os.environ.get('BENCH_FOLD', 'auto'),
+      conv_stack=os.environ.get('BENCH_STACK', 'auto'))
   model = FilmNet(options)
   params = init_params(model, jax.random.PRNGKey(0))
   align = 64

@@ -66,7 +66,7 @@ def apply_platform_flag(value) -> None:
 
 def load_interpolator_from_flag(params_flag: str, align, block_shape,
                                 dtype_policy=None, warp_impl=None,
-                                fold_convs=None):
+                                fold_convs=None, conv_stack=None):
   """Builds an Interpolator from a bundle/SavedModel path or 'random'."""
   import dataclasses
 
@@ -77,6 +77,8 @@ def load_interpolator_from_flag(params_flag: str, align, block_shape,
       options = dataclasses.replace(options, warp_impl=warp_impl)
     if fold_convs and fold_convs != options.fold_convs:
       options = dataclasses.replace(options, fold_convs=fold_convs)
+    if conv_stack and conv_stack != options.conv_stack:
+      options = dataclasses.replace(options, conv_stack=conv_stack)
     return options
 
   if params_flag == 'random':

@@ -58,6 +58,11 @@ _FOLD_CONVS = define_flag(flags.DEFINE_enum,
     'fold_convs', None, ['auto', 'on', 'off'],
     'W-folded execution of sub-128-lane conv stacks (ops/folded_conv.py). '
     'Numerically equivalent; default uses the bundle/auto setting.')
+_CONV_STACK = define_flag(flags.DEFINE_enum,
+    'conv_stack', None, ['auto', 'on', 'off', 'interpret'],
+    'Fused conv+pool execution of the extractor sub-level-0 stacks '
+    '(ops/conv_stack.py; TPU). Numerically equivalent; default uses the '
+    'bundle/auto setting.')
 _MESH = define_flag(flags.DEFINE_enum,
     'mesh', 'none', ['none', 'data', 'spatial'],
     'Multi-chip execution over all visible devices (parallel/inference.py): '
@@ -74,7 +79,8 @@ def main(argv):
   interpolator = load_interpolator_from_flag(
       _PARAMS.value, _ALIGN.value,
       [_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value], _DTYPE.value,
-      warp_impl=_WARP_IMPL.value, fold_convs=_FOLD_CONVS.value)
+      warp_impl=_WARP_IMPL.value, fold_convs=_FOLD_CONVS.value,
+      conv_stack=_CONV_STACK.value)
   interpolator = to_mesh_interpolator(
       interpolator, _MESH.value, _ALIGN.value,
       block_shape=(_BLOCK_HEIGHT.value, _BLOCK_WIDTH.value), kind='pair')

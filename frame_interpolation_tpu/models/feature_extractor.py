@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import conv_stack
 from ..ops import folded_conv
 from ..ops import pyramid as pyramid_ops
 from ..options import Options
@@ -62,12 +63,36 @@ class SubTreeExtractor(nn.Module):
     return folded_conv.should_fold(self.options.fold_convs, features,
                                    head.shape)
 
+  def _stack(self, head: jnp.ndarray, i: int, emit_pool: bool):
+    """Runs sub-level `i` as the fused pair-flat stack (ops/conv_stack.py).
+
+    The raw conv params are pulled OUTSIDE the fused program (see
+    FoldableConv raw=True), so all weight transforms hoist and no flax
+    scope is touched inside lax.map bodies.
+    """
+    features = self.options.filters << i
+    kernel0, bias0 = self.convs[2 * i](head, raw=True)
+    kernel1, bias1 = self.convs[2 * i + 1](
+        jnp.zeros((features,), head.dtype), raw=True)
+    mode = conv_stack.resolve_mode(self.options.conv_stack, head.shape,
+                                   features, dtype=head.dtype)
+    return conv_stack.extractor_stack(
+        head, kernel0, bias0, kernel1, bias1, emit_pool=emit_pool,
+        interpret=(mode == 'interpret'))
+
   def __call__(self, image: jnp.ndarray, n: int) -> List[jnp.ndarray]:
     """Extracts `n` pyramid levels of features from `image` (finest first)."""
     head = image
     pyramid = []
     for i in range(n):
-      if self._fold(head, self.options.filters << i):
+      if conv_stack.resolve_mode(self.options.conv_stack, head.shape,
+                                 self.options.filters << i,
+                                 dtype=head.dtype):
+        feat, pooled = self._stack(head, i, emit_pool=(i < n - 1))
+        pyramid.append(feat)
+        if i < n - 1:
+          head = pooled
+      elif self._fold(head, self.options.filters << i):
         hf = folded_conv.fold(head)
         hf = _leaky_relu(self.convs[2 * i](hf, folded=True))
         hf = _leaky_relu(self.convs[2 * i + 1](hf, folded=True))

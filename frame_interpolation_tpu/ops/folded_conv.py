@@ -133,13 +133,20 @@ class FoldableConv(nn.Module):
 
   @nn.compact
   def __call__(self, x: jnp.ndarray, folded: bool = False,
-               piece_sizes: Sequence[int] = ()) -> jnp.ndarray:
+               piece_sizes: Sequence[int] = (), raw: bool = False):
     kh, kw = self.kernel_size
     cin = x.shape[-1] // 2 if folded else x.shape[-1]
     kernel = self.param('kernel', nn.initializers.lecun_normal(),
                         (kh, kw, cin, self.features), jnp.float32)
     bias = self.param('bias', nn.initializers.zeros, (self.features,),
                       jnp.float32)
+    if raw:
+      # Raw-parameter access for externally-fused execution (e.g. the
+      # pair-flat stack kernel, ops/conv_stack.py): `x` only supplies the
+      # trailing input-channel extent. Creating/reading the params HERE —
+      # outside any lax.map/scan the fused path may run under — keeps
+      # flax's scope out of traced loop bodies.
+      return kernel, bias
     x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                               dtype=self.dtype)
     if folded:

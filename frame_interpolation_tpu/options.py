@@ -52,6 +52,14 @@ class Options:
       XLA's 128-lane padding would inflate HBM traffic), 'on' (fold every
       eligible layer; tests), or 'off'. Numerically equivalent up to
       accumulation order (pinned in tests).
+    conv_stack: fused conv+pool execution of the extractor's sub-level-0
+      stacks (ops/conv_stack.py: second conv + bias + leaky + 2x2 avg-pool
+      as ONE Pallas kernel over a natively-produced guarded pair-flat
+      layout) — 'auto' (engage on TPU under a 2-byte compute dtype at
+      sizes where the kernel's window pipeline beats XLA), 'on' (every
+      eligible stack), 'interpret' (Pallas interpret mode; CPU tests), or
+      'off'. Numerically equivalent up to accumulation order (pinned in
+      tests).
   """
   pyramid_levels: int = 5
   fusion_pyramid_levels: int = 5
@@ -64,6 +72,7 @@ class Options:
   dtype_policy: str = 'float32'
   warp_impl: str = 'gather'
   fold_convs: str = 'auto'
+  conv_stack: str = 'auto'
 
   def __post_init__(self):
     if self.pyramid_levels < self.fusion_pyramid_levels:
@@ -76,6 +85,8 @@ class Options:
       raise ValueError(f'Unknown warp_impl: {self.warp_impl}')
     if self.fold_convs not in ('auto', 'on', 'off'):
       raise ValueError(f'Unknown fold_convs: {self.fold_convs}')
+    if self.conv_stack not in ('auto', 'on', 'off', 'interpret'):
+      raise ValueError(f'Unknown conv_stack: {self.conv_stack}')
 
   @property
   def compute_dtype(self):
