@@ -22,7 +22,11 @@ import numpy as np
 
 from frame_interpolation_tpu.ops import warp, warp_window
 
-H, W, C = 1088, 1920, 67
+H = int(os.environ.get('WARP_BENCH_H', '1088'))
+W = int(os.environ.get('WARP_BENCH_W', '1920'))
+# C=67 is the level-0 warp plane (RGB + 64 features); C>=128 exercises the
+# tall-window cb=144 channel-block configuration (ADVICE round 3 #2).
+C = int(os.environ.get('WARP_BENCH_C', '67'))
 ITERS = 8
 TRIALS = 3
 
