@@ -306,10 +306,10 @@ def resolve_mode(mode: str, shape, features: int,
   return 'compiled' if (h >= 64 and w >= 256) else None
 
 
-def extractor_stack(image: jnp.ndarray, kernel0, bias0, kernel1, bias1,
-                    negative_slope: float = 0.2, emit_pool: bool = True,
-                    interpret: bool = False
-                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+def _extractor_stack_impl(image: jnp.ndarray, kernel0, bias0, kernel1, bias1,
+                          negative_slope: float = 0.2, emit_pool: bool = True,
+                          interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
   """Runs one sub-level-0 extractor stack in the native pair-flat layout.
 
   image: (N, H, W, cin) stack input (an image-pyramid level).
@@ -359,6 +359,94 @@ def extractor_stack(image: jnp.ndarray, kernel0, bias0, kernel1, bias1,
     out = jax.tree_util.tree_map(lambda a: a[None], out)
   else:
     out = jax.lax.map(one, image)
+  if emit_pool:
+    return out
+  return out, None
+
+
+def _unfused_stack(image, kernel0, bias0, kernel1, bias1,
+                   negative_slope: float, emit_pool: bool):
+  """The stack as plain XLA ops, numerics mirroring the unfused model path
+  (FoldableConv promotes params to the input dtype; leaky-relu epilogues;
+  ops/pyramid.avg_pool_2x). Used as the differentiation reference for the
+  fused kernel's custom VJP — same tap math, so the gradient is the
+  gradient of the function the kernel computes (up to accumulation order).
+  """
+  from . import pyramid as pyramid_ops  # local import: avoid a cycle
+
+  dt = image.dtype
+
+  def conv(x, k, b):
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(dt), (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y + b.astype(dt)[None, None, None]
+
+  y0 = conv(image, kernel0, bias0)
+  y0 = jnp.where(y0 >= 0, y0, y0 * negative_slope)
+  y1 = conv(y0, kernel1, bias1)
+  y1 = jnp.where(y1 >= 0, y1, y1 * negative_slope)
+  if emit_pool:
+    return y1, pyramid_ops.avg_pool_2x(y1)
+  return y1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _stack_diff(negative_slope, emit_pool, interpret,
+                image, kernel0, bias0, kernel1, bias1):
+  out = _extractor_stack_impl(image, kernel0, bias0, kernel1, bias1,
+                              negative_slope=negative_slope,
+                              emit_pool=emit_pool, interpret=interpret)
+  return out if emit_pool else out[0]
+
+
+def _stack_diff_fwd(negative_slope, emit_pool, interpret,
+                    image, kernel0, bias0, kernel1, bias1):
+  out = _stack_diff(negative_slope, emit_pool, interpret,
+                    image, kernel0, bias0, kernel1, bias1)
+  return out, (image, kernel0, bias0, kernel1, bias1)
+
+
+def _stack_diff_bwd(negative_slope, emit_pool, interpret, residuals, cts):
+  """Backward = XLA autodiff of the unfused composition (rematerialized).
+
+  The Pallas forward kernel has no differentiation rule; training-path
+  gradients (VERDICT round-4 item 5) route through the equivalent plain
+  conv stack, whose conv-transposes XLA maps cleanly onto the MXU. The
+  fused primal's value is kept (only the backward recomputes).
+  """
+  image, kernel0, bias0, kernel1, bias1 = residuals
+  _, vjp_fn = jax.vjp(
+      functools.partial(_unfused_stack, negative_slope=negative_slope,
+                        emit_pool=emit_pool),
+      image, kernel0, bias0, kernel1, bias1)
+  if emit_pool:
+    feat_ct, pool_ct = cts
+    if pool_ct is None:
+      pool_ct = jnp.zeros(
+          (feat_ct.shape[0], feat_ct.shape[1] // 2, feat_ct.shape[2] // 2,
+           feat_ct.shape[3]), feat_ct.dtype)
+    cts = (feat_ct, pool_ct)
+  return vjp_fn(cts)
+
+
+_stack_diff.defvjp(_stack_diff_fwd, _stack_diff_bwd)
+
+
+def extractor_stack(image: jnp.ndarray, kernel0, bias0, kernel1, bias1,
+                    negative_slope: float = 0.2, emit_pool: bool = True,
+                    interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+  """Differentiable entry point for the fused extractor stack.
+
+  Forward runs the fused pair-flat kernel (_extractor_stack_impl);
+  gradients flow through a custom VJP that differentiates the equivalent
+  unfused conv composition, so the training forward can engage the kernel
+  (reference training regime: 256x256 crops,
+  /root/reference/training/config/film_net-L1.gin:25-34).
+  """
+  out = _stack_diff(negative_slope, emit_pool, interpret,
+                    image, kernel0, bias0, kernel1, bias1)
   if emit_pool:
     return out
   return out, None

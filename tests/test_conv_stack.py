@@ -88,6 +88,41 @@ def test_extractor_stack_matches_unfused(batch, emit_pool):
     assert pooled is None
 
 
+@pytest.mark.parametrize('emit_pool', [True, False])
+def test_extractor_stack_grads_match_unfused(emit_pool):
+  """The custom VJP (training path) equals XLA autodiff of the unfused
+  stack — grad through the fused kernel must neither crash nor drift."""
+  rng = np.random.RandomState(7 + emit_pool)
+  c = conv_stack.C
+  x = jnp.asarray(rng.rand(2, 12, 40, 3), jnp.float32)
+  k0 = jnp.asarray(rng.randn(3, 3, 3, c) * 0.2, jnp.float32)
+  b0 = jnp.asarray(rng.rand(c) - 0.5, jnp.float32)
+  k1 = jnp.asarray(rng.randn(3, 3, c, c) * 0.1, jnp.float32)
+  b1 = jnp.asarray(rng.rand(c) - 0.5, jnp.float32)
+
+  def loss_fused(x, k0, b0, k1, b1):
+    f, p = conv_stack.extractor_stack(x, k0, b0, k1, b1,
+                                      emit_pool=emit_pool, interpret=True)
+    out = jnp.sum(f ** 2)
+    if emit_pool:
+      out = out + jnp.sum(jnp.sin(p))
+    return out
+
+  def loss_ref(x, k0, b0, k1, b1):
+    f, p = _reference_stack(x, k0, b0, k1, b1, emit_pool)
+    out = jnp.sum(f ** 2)
+    if emit_pool:
+      out = out + jnp.sum(jnp.sin(p))
+    return out
+
+  args = (x, k0, b0, k1, b1)
+  got = jax.grad(loss_fused, argnums=tuple(range(5)))(*args)
+  want = jax.grad(loss_ref, argnums=tuple(range(5)))(*args)
+  for g, w in zip(got, want):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_resolve_mode_gates():
   resolve = functools.partial(conv_stack.resolve_mode, features=64)
   assert resolve('off', (1, 64, 256, 3)) is None
