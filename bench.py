@@ -277,6 +277,96 @@ def bench_train():
       'value': round(sps, 3), 'unit': 'steps/sec', 'vs_baseline': None}))
 
 
+def check_kernel_parity():
+  """BENCH_PARITY: on-chip Pallas-vs-XLA parity at production shapes.
+
+  The CPU suite pins every Pallas kernel in interpret mode; this runs the
+  COMPILED kernels on the real chip against their XLA references and
+  hard-fails on mismatch, closing the residual Mosaic-lowering risk
+  (VERDICT round-4 item 6). One shape per kernel, matching its production
+  route: window warp at the 1080p padded warp plane, splat VJP at the
+  training regime (bs8 256px — the VMEM-resident route), fused extractor
+  stack at the 1080p sub-level-0 site. Only scalars are fetched (tunnel
+  D2H is slow); all comparisons reduce on device.
+  """
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  from frame_interpolation_tpu.ops import conv_stack, warp, warp_window
+
+  rng = np.random.RandomState(0)
+
+  # 1. Window warp kernel vs the XLA 2-slice gather (bf16 planes, smooth
+  # +-30 px flow with a 40 px motion-boundary seam — the kernel's hardest
+  # supported regime). Gather blends in bf16 (one rounding per lerp);
+  # the kernel accumulates f32 and rounds once: bound is 2 bf16 ulp at
+  # magnitude ~1 (same bound as experiments/check_warp_tpu.py).
+  h, w, c = 1088, 1920, 67
+  image = jnp.asarray(rng.rand(1, h, w, c), jnp.bfloat16)
+  yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+  flow_np = np.stack([30 * np.sin(yy / 97.0) * np.cos(xx / 131.0),
+                      30 * np.cos(yy / 89.0) * np.sin(xx / 151.0)], axis=-1)
+  flow_np[:, : w // 2] += 40.0
+  flow = jnp.asarray(flow_np[None].astype(np.float32))
+
+  @jax.jit
+  def warp_diff(image, flow):
+    a = warp_window.backward_warp_window(image, flow).astype(jnp.float32)
+    b = warp._backward_warp_raw(image, flow).astype(jnp.float32)
+    return jnp.max(jnp.abs(a - b))
+
+  err = float(warp_diff(image, flow))
+  assert err <= 2 * 2.0 ** -8, ('window-warp kernel parity FAILED', err)
+
+  # 2. Splat VJP (image cotangent) vs the XLA scatter transpose at the
+  # training shape. f32 cotangent: a bf16 one makes the XLA scatter
+  # accumulate in bf16 and IT becomes the inaccurate side.
+  img8 = jnp.asarray(rng.rand(8, 256, 256, 64), jnp.float32)
+  flow8 = jnp.asarray((rng.rand(8, 256, 256, 2) - 0.5) * 24, jnp.float32)
+  g8 = jnp.asarray(rng.rand(8, 256, 256, 64), jnp.float32)
+
+  @jax.jit
+  def splat_diff(img, fl, g):
+    _, vjp_fast = jax.vjp(lambda x: warp.backward_warp(x, fl), img)
+    _, vjp_ref = jax.vjp(lambda x: warp._backward_warp_raw(x, fl), img)
+    a = vjp_fast(g)[0].astype(jnp.float32)
+    b = vjp_ref(g)[0].astype(jnp.float32)
+    return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
+
+  gerr, gref = (float(v) for v in splat_diff(img8, flow8, g8))
+  assert gerr <= 1e-5 * max(gref, 1e-6), (
+      'splat-VJP kernel parity FAILED', gerr, gref)
+
+  # 3. Fused extractor stack (pair-flat Pallas) vs the plain conv+pool
+  # composition at the 1080p sub-level-0 site. Both paths accumulate f32
+  # from bf16 operands and round intermediates to bf16; the bound covers
+  # accumulation-order drift only (same atol as tests/test_conv_stack.py).
+  img_s = jnp.asarray(rng.rand(1, 1088, 1920, 3), jnp.bfloat16)
+  k0 = jnp.asarray(rng.randn(3, 3, 3, 64) * 0.1, jnp.float32)
+  b0 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+  k1 = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.05, jnp.float32)
+  b1 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+
+  @jax.jit
+  def stack_diff(img, k0, b0, k1, b1):
+    feat, pool = conv_stack.extractor_stack(img, k0, b0, k1, b1)
+    feat_r, pool_r = conv_stack._unfused_stack(
+        img, k0, b0, k1, b1, negative_slope=0.2, emit_pool=True)
+    df = jnp.max(jnp.abs(feat.astype(jnp.float32) -
+                         feat_r.astype(jnp.float32)))
+    dp = jnp.max(jnp.abs(pool.astype(jnp.float32) -
+                         pool_r.astype(jnp.float32)))
+    return df, dp
+
+  df, dp = (float(v) for v in stack_diff(img_s, k0, b0, k1, b1))
+  assert df <= 5e-2 and dp <= 5e-2, (
+      'conv-stack kernel parity FAILED', df, dp)
+  print('bench: kernel parity OK (warp %.2e, splat %.2e, stack %.2e/%.2e)'
+        % (err, gerr, df, dp), file=sys.stderr)
+  return True
+
+
 def main():
   import jax
   import jax.numpy as jnp
@@ -348,6 +438,12 @@ def main():
             'falling back to plain jit.' % (type(e).__name__, e),
             file=sys.stderr)
 
+  # BENCH_PARITY (default on): compiled-kernel parity on the real chip
+  # before timing — a mismatch hard-fails the bench (VERDICT r4 item 6).
+  parity = None
+  if os.environ.get('BENCH_PARITY', '1') != '0':
+    parity = check_kernel_parity()
+
   # Warmup: compiles and forces one full execution via the scalar fetch.
   float(bench_loop(params, x0, x1, tv))
 
@@ -360,12 +456,15 @@ def main():
     best = min(best, elapsed)
 
   fps = batch * iters / best
-  print(json.dumps({
+  record = {
       'metric': '1080p_frames_per_sec_per_chip',
       'value': round(fps, 3),
       'unit': 'fps',
       'vs_baseline': round(fps / BASELINE_FPS, 3),
-  }))
+  }
+  if parity is not None:
+    record['parity'] = parity
+  print(json.dumps(record))
 
 
 def _is_backend_outage(e: BaseException) -> bool:

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import conv_stack
+from ..ops import conv_stack_wide
 from ..ops import folded_conv
 from ..ops import pyramid as pyramid_ops
 from ..options import Options
@@ -80,6 +81,19 @@ class SubTreeExtractor(nn.Module):
         head, kernel0, bias0, kernel1, bias1, emit_pool=emit_pool,
         interpret=(mode == 'interpret'))
 
+  def _stack_wide(self, head: jnp.ndarray, i: int, emit_pool: bool):
+    """Runs wide sub-level `i` (C in {128, 256, 512}) as the fused flat
+    stack (ops/conv_stack_wide.py); same raw-params hoisting as _stack."""
+    features = self.options.filters << i
+    kernel0, bias0 = self.convs[2 * i](head, raw=True)
+    kernel1, bias1 = self.convs[2 * i + 1](
+        jnp.zeros((features,), head.dtype), raw=True)
+    mode = conv_stack_wide.resolve_wide_mode(
+        self.options.conv_stack, head.shape, features, dtype=head.dtype)
+    return conv_stack_wide.wide_extractor_stack(
+        head, kernel0, bias0, kernel1, bias1, emit_pool=emit_pool,
+        interpret=(mode == 'interpret'))
+
   def __call__(self, image: jnp.ndarray, n: int) -> List[jnp.ndarray]:
     """Extracts `n` pyramid levels of features from `image` (finest first)."""
     head = image
@@ -89,6 +103,14 @@ class SubTreeExtractor(nn.Module):
                                  self.options.filters << i,
                                  dtype=head.dtype):
         feat, pooled = self._stack(head, i, emit_pool=(i < n - 1))
+        pyramid.append(feat)
+        if i < n - 1:
+          head = pooled
+      elif conv_stack_wide.resolve_wide_mode(self.options.conv_stack,
+                                             head.shape,
+                                             self.options.filters << i,
+                                             dtype=head.dtype):
+        feat, pooled = self._stack_wide(head, i, emit_pool=(i < n - 1))
         pyramid.append(feat)
         if i < n - 1:
           head = pooled
