@@ -75,8 +75,13 @@ class SubTreeExtractor(nn.Module):
     kernel0, bias0 = self.convs[2 * i](head, raw=True)
     kernel1, bias1 = self.convs[2 * i + 1](
         jnp.zeros((features,), head.dtype), raw=True)
-    mode = conv_stack.resolve_mode(self.options.conv_stack, head.shape,
+    mode = conv_stack.resolve_mode(self.options.conv_stack,
+                                   conv_stack.slab_shape(head.shape),
                                    features, dtype=head.dtype)
+    if conv_stack.spmd_rows_ctx() is not None:
+      return conv_stack.stack_rows(
+          conv_stack._extractor_stack_impl, head, kernel0, bias0, kernel1,
+          bias1, emit_pool=emit_pool, interpret=(mode == 'interpret'))
     return conv_stack.extractor_stack(
         head, kernel0, bias0, kernel1, bias1, emit_pool=emit_pool,
         interpret=(mode == 'interpret'))
@@ -89,7 +94,13 @@ class SubTreeExtractor(nn.Module):
     kernel1, bias1 = self.convs[2 * i + 1](
         jnp.zeros((features,), head.dtype), raw=True)
     mode = conv_stack_wide.resolve_wide_mode(
-        self.options.conv_stack, head.shape, features, dtype=head.dtype)
+        self.options.conv_stack, conv_stack.slab_shape(head.shape),
+        features, dtype=head.dtype)
+    if conv_stack.spmd_rows_ctx() is not None:
+      return conv_stack.stack_rows(
+          conv_stack_wide._wide_stack_impl, head, kernel0, bias0,
+          kernel1, bias1, emit_pool=emit_pool,
+          interpret=(mode == 'interpret'))
     return conv_stack_wide.wide_extractor_stack(
         head, kernel0, bias0, kernel1, bias1, emit_pool=emit_pool,
         interpret=(mode == 'interpret'))
@@ -99,17 +110,20 @@ class SubTreeExtractor(nn.Module):
     head = image
     pyramid = []
     for i in range(n):
-      if conv_stack.resolve_mode(self.options.conv_stack, head.shape,
-                                 self.options.filters << i,
-                                 dtype=head.dtype):
+      # Under the rows-SPMD context the stacks run per-device on row
+      # slabs (conv_stack.stack_rows), so the engagement gates look at
+      # the slab shape, not the global one.
+      gate_shape = conv_stack.slab_shape(head.shape)
+      if gate_shape is not None and conv_stack.resolve_mode(
+          self.options.conv_stack, gate_shape, self.options.filters << i,
+          dtype=head.dtype):
         feat, pooled = self._stack(head, i, emit_pool=(i < n - 1))
         pyramid.append(feat)
         if i < n - 1:
           head = pooled
-      elif conv_stack_wide.resolve_wide_mode(self.options.conv_stack,
-                                             head.shape,
-                                             self.options.filters << i,
-                                             dtype=head.dtype):
+      elif gate_shape is not None and conv_stack_wide.resolve_wide_mode(
+          self.options.conv_stack, gate_shape, self.options.filters << i,
+          dtype=head.dtype):
         feat, pooled = self._stack_wide(head, i, emit_pool=(i < n - 1))
         pyramid.append(feat)
         if i < n - 1:

@@ -306,9 +306,27 @@ def resolve_mode(mode: str, shape, features: int,
   return 'compiled' if (h >= 64 and w >= 256) else None
 
 
+def apply_valid_rows(y_tall: jnp.ndarray, top: int, valid_rows):
+  """Zeroes tall-frame rows outside the traced image-row range [lo, hi).
+
+  Used by the rows-SPMD path (stack_rows): a device's slab extension
+  carries 2 halo rows on each side that are REAL image rows at interior
+  slab boundaries but lie OUTSIDE the global image at the mesh edges —
+  there the reference's 'SAME' semantics zero conv0's output before conv1
+  consumes it. `valid_rows` is (lo, hi) in image-row units of the frame
+  the impl was given (traced per-device scalars).
+  """
+  if valid_rows is None:
+    return y_tall
+  lo, hi = valid_rows
+  rows = jax.lax.broadcasted_iota(jnp.int32, y_tall.shape, 0)
+  ok = (rows >= top + lo) & (rows < top + hi)
+  return jnp.where(ok, y_tall, jnp.zeros_like(y_tall))
+
+
 def _extractor_stack_impl(image: jnp.ndarray, kernel0, bias0, kernel1, bias1,
                           negative_slope: float = 0.2, emit_pool: bool = True,
-                          interpret: bool = False
+                          interpret: bool = False, valid_rows=None
                           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
   """Runs one sub-level-0 extractor stack in the native pair-flat layout.
 
@@ -345,7 +363,8 @@ def _extractor_stack_impl(image: jnp.ndarray, kernel0, bias0, kernel1, bias1,
         folded[None], w0f, (1, 1), 'SAME',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0] + b0f
     y0 = jnp.where(y0 >= 0, y0, y0 * negative_slope)
-    xflat = mask_tall(y0, g).reshape(g.r_total, 128)
+    y0 = apply_valid_rows(mask_tall(y0, g), g.tm + 2, valid_rows)
+    xflat = y0.reshape(g.r_total, 128)
     feat_flat, pool_flat = conv_stack_flat(
         xflat, wc, ws, b2, g, negative_slope=negative_slope,
         emit_pool=emit_pool, interpret=interpret)
@@ -431,6 +450,88 @@ def _stack_diff_bwd(negative_slope, emit_pool, interpret, residuals, cts):
 
 
 _stack_diff.defvjp(_stack_diff_fwd, _stack_diff_bwd)
+
+
+def spmd_rows_ctx():
+  """The (mesh, axis) installed by ops.warp.spmd_rows_mesh, or None.
+
+  The row-sharded spatial interpolator (parallel/inference.py) installs it
+  while tracing; fused-stack sites consult it to drop into shard_map the
+  same way the window warp does (ops/warp_window.py window_rows)."""
+  from . import warp as warp_lib
+  return warp_lib._SPMD_ROWS
+
+
+def slab_shape(shape):
+  """Per-device slab shape for stack gating under the rows-SPMD context.
+
+  Returns `shape` unchanged when no context is installed, the slab shape
+  (rows divided by the mesh axis) when the split is clean, or None when
+  rows cannot slab-split (odd slabs break the fused pool's y-pairs) — the
+  caller must then use the unfused path, which GSPMD partitions itself.
+  """
+  ctx = spmd_rows_ctx()
+  if ctx is None:
+    return shape
+  mesh, axis = ctx
+  n = int(mesh.shape[axis])
+  h = shape[-3]
+  if h % n or (h // n) % 2:
+    return None
+  return tuple(shape[:-3]) + (h // n,) + tuple(shape[-2:])
+
+
+def stack_rows(impl_fn, head, kernel0, bias0, kernel1, bias1,
+               emit_pool: bool, interpret: bool):
+  """Runs a fused extractor stack under the installed rows-SPMD mesh.
+
+  Inside `jax.shard_map`, each device exchanges a STATIC 2-row halo with
+  its neighbors (conv0 + conv1 reach one image row each), runs the fused
+  kernel on its local (slab+4)-row extension, and keeps the interior rows:
+  full-frame output semantics, 1/n of the stack per device. This is what
+  lets SpatialShardedInterpolator keep conv_stack engaged (the Pallas
+  custom call carries no GSPMD rules; VERDICT round-4 item 4).
+
+  At the mesh EDGES the halo rows lie outside the global image:
+  lax.ppermute zero-fills them (= the global 'SAME' input padding) and
+  `valid_rows` makes the impl zero conv0's OUTPUT there too — the
+  reference's second conv consumes zero-padded conv0 output at the frame
+  boundary, not conv0-of-zeros.
+
+  `impl_fn` is an inference impl accepting valid_rows
+  (conv_stack._extractor_stack_impl / conv_stack_wide._wide_stack_impl);
+  like the row-sharded window warp, this path carries no custom VJP
+  (spatial sharding is a serving latency play; training shards the batch).
+  """
+  import jax.sharding as shd
+  mesh, axis = spmd_rows_ctx()
+  n = int(mesh.shape[axis])
+  spec = shd.PartitionSpec(None, axis)
+  slab_rows = head.shape[1] // n
+
+  def per_shard(slab):
+    up = jax.lax.ppermute(slab[:, -2:], axis,
+                          [(i, i + 1) for i in range(n - 1)])
+    down = jax.lax.ppermute(slab[:, :2], axis,
+                            [(i + 1, i) for i in range(n - 1)])
+    ext = jnp.concatenate([up, slab, down], axis=1)
+    d = jax.lax.axis_index(axis)
+    lo = jnp.where(d == 0, 2, 0)
+    hi = jnp.where(d == n - 1, slab_rows + 2, slab_rows + 4)
+    feat, pooled = impl_fn(ext, kernel0, bias0, kernel1, bias1,
+                           emit_pool=emit_pool, interpret=interpret,
+                           valid_rows=(lo, hi))
+    feat = feat[:, 2:-2]
+    if emit_pool:
+      return feat, pooled[:, 1:-1]
+    return feat
+
+  out_specs = (spec, spec) if emit_pool else spec
+  out = jax.shard_map(per_shard, mesh=mesh, in_specs=(spec,),
+                      out_specs=out_specs, check_vma=False)(head)
+  if emit_pool:
+    return out
+  return out, None
 
 
 def extractor_stack(image: jnp.ndarray, kernel0, bias0, kernel1, bias1,

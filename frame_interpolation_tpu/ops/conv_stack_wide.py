@@ -30,12 +30,15 @@ scheme as conv_stack.py, so no seam pads exist.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from . import conv_stack
 
 
 def _round_up(x: int, m: int) -> int:
@@ -64,6 +67,20 @@ class FlatGeometry(NamedTuple):
   def tall_rows(self) -> int:
     """Image rows of the tall (guarded) frame: r_total / gw."""
     return self.r_total // self.gw
+
+
+def default_tm_wide(c: int) -> int:
+  """Grid block height (image rows per block) by channel count.
+
+  Measured on-chip (experiments/probe_wide_variants.py): tm=16 wins at
+  C=128 (window overlap falls from 1.27x to 1.14x of the plane); at
+  C=512 the larger double-buffered window crowds VMEM and loses. Override
+  with FI_STACK_WIDE_TM.
+  """
+  env = os.environ.get('FI_STACK_WIDE_TM')
+  if env:
+    return int(env)
+  return 16 if c == 128 else 8
 
 
 def flat_geometry(h: int, w: int, c: int, tm: int = 8) -> FlatGeometry:
@@ -248,6 +265,8 @@ def resolve_wide_mode(mode: str, shape, features: int,
   """
   if mode == 'off' or features not in (128, 256, 512):
     return None
+  if os.environ.get('FI_STACK_WIDE', '1') == '0':  # A/B: wide kernel off
+    return None
   h, w = shape[-3], shape[-2]
   if h % 2 or w % 2:
     return None
@@ -268,7 +287,7 @@ def resolve_wide_mode(mode: str, shape, features: int,
 
 def _wide_stack_impl(head: jnp.ndarray, kernel0, bias0, kernel1, bias1,
                      negative_slope: float = 0.2, emit_pool: bool = True,
-                     interpret: bool = False
+                     interpret: bool = False, valid_rows=None
                      ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
   """Runs one wide extractor sub-level in the native flat layout.
 
@@ -285,7 +304,7 @@ def _wide_stack_impl(head: jnp.ndarray, kernel0, bias0, kernel1, bias1,
   n, h, w, _ = head.shape
   dtype = head.dtype
   c = kernel1.shape[-1]
-  g = flat_geometry(h, w, c)
+  g = flat_geometry(h, w, c, tm=default_tm_wide(c))
   w0 = kernel0.astype(dtype)
   b0 = bias0.astype(dtype)
   w1 = kernel1.astype(dtype)
@@ -296,7 +315,9 @@ def _wide_stack_impl(head: jnp.ndarray, kernel0, bias0, kernel1, bias1,
         tall[None], w0, (1, 1), 'SAME',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0] + b0
     y0 = jnp.where(y0 >= 0, y0, y0 * negative_slope)
-    xflat = mask_tall_flat(y0, g).reshape(g.r_total, c)
+    y0 = conv_stack.apply_valid_rows(mask_tall_flat(y0, g), g.tm + 2,
+                                     valid_rows)
+    xflat = y0.reshape(g.r_total, c)
     feat_flat, pool_half = conv_flat(
         xflat, w1, bias1, g, negative_slope=negative_slope,
         emit_pool=emit_pool, interpret=interpret)
@@ -335,8 +356,6 @@ def _wide_diff_bwd(negative_slope, emit_pool, interpret, residuals, cts):
   """Backward = XLA autodiff of the unfused composition (rematerialized),
   exactly as conv_stack._stack_diff_bwd: same tap math, so the gradient is
   the gradient of the function the kernel computes."""
-  from . import conv_stack
-
   head, kernel0, bias0, kernel1, bias1 = residuals
   _, vjp_fn = jax.vjp(
       functools.partial(conv_stack._unfused_stack,

@@ -235,12 +235,12 @@ class SpatialShardedInterpolator:
       # the Pallas kernel wherever it applies and IS the gather for
       # small planes, so it supersedes any single-chip choice here.
       options = dataclasses.replace(options, warp_impl='window_rows')
-    if options.conv_stack not in ('off', 'interpret'):
-      # The fused extractor-stack kernel (ops/conv_stack.py) carries no
-      # GSPMD partitioning rules; under this row-sharded jit it would
-      # force a full rematerialization. XLA partitions the plain folded
-      # convs cleanly, so the stack stays off here.
-      options = dataclasses.replace(options, conv_stack='off')
+    # The fused extractor stacks stay ENGAGED here: like the warp, each
+    # stack site drops into shard_map under the rows-SPMD context
+    # (conv_stack.stack_rows) — a static 2-row halo exchange per device,
+    # full-frame semantics, 1/n of the stack compute per device. Sites
+    # whose per-device slab fails the kernel gates route to the plain
+    # folded convs, which GSPMD partitions itself.
     self._options = options
     self._mesh = mesh
     self._align = align
