@@ -102,6 +102,19 @@ def _tf_style_loss(image, reference, kernels, weights):
 
 @pytest.fixture(scope='module')
 def vgg_mat(tmp_path_factory):
+  """Synthetic MatConvNet bundle, or the REAL released weights if mounted.
+
+  Set FI_VGG_MAT=/path/to/imagenet-vgg-verydeep-19.mat to run every
+  parity test in this file against the real released VGG19 weights
+  (reference losses/vgg19_loss.py:100-103) — the day the artifact is
+  available, `FI_VGG_MAT=... pytest tests/test_losses.py` closes the
+  north-star VGG fidelity gate in one run. `kernels` is None then, so
+  the loader-layout test (which needs known values) skips.
+  """
+  real = os.environ.get('FI_VGG_MAT')
+  if real:
+    assert os.path.exists(real), real
+    return real, None
   path = str(tmp_path_factory.mktemp('vgg') / 'fake_vgg19.mat')
   kernels = _make_fake_vgg_mat(path)
   return path, kernels
@@ -111,6 +124,8 @@ class TestVgg19:
 
   def test_loader_reads_matconvnet_layout(self, vgg_mat):
     path, kernels = vgg_mat
+    if kernels is None:
+      pytest.skip('FI_VGG_MAT set: no known-value bundle to compare')
     loaded = vgg19._load_vgg_weights(path)
     assert len(loaded) == len(kernels)
     for (lk, lb), (k, b) in zip(loaded, kernels):
@@ -126,6 +141,11 @@ class TestVgg19:
 
   def test_vgg_loss_matches_tf_oracle(self, vgg_mat):
     path, kernels = vgg_mat
+    if kernels is None:
+      # Real released .mat (FI_VGG_MAT): the oracle reuses our loader's
+      # values — the conv/pool/gram math check stays independent, and
+      # loader correctness is pinned by TestReferenceVggParity below.
+      kernels = vgg19._load_vgg_weights(path)
     rng = np.random.RandomState(1)
     img = rng.rand(2, 33, 41, 3).astype(np.float32)
     ref = rng.rand(2, 33, 41, 3).astype(np.float32)
@@ -135,6 +155,8 @@ class TestVgg19:
 
   def test_style_loss_matches_tf_oracle(self, vgg_mat):
     path, kernels = vgg_mat
+    if kernels is None:
+      kernels = vgg19._load_vgg_weights(path)
     rng = np.random.RandomState(2)
     img = rng.rand(1, 32, 32, 3).astype(np.float32)
     ref = rng.rand(1, 32, 32, 3).astype(np.float32)
