@@ -362,8 +362,34 @@ def check_kernel_parity():
   df, dp = (float(v) for v in stack_diff(img_s, k0, b0, k1, b1))
   assert df <= 5e-2 and dp <= 5e-2, (
       'conv-stack kernel parity FAILED', df, dp)
-  print('bench: kernel parity OK (warp %.2e, splat %.2e, stack %.2e/%.2e)'
-        % (err, gerr, df, dp), file=sys.stderr)
+
+  # 4. Wide flat-layout stack (C=128 sub-level-1 at 1080p: 544x960) vs the
+  # same unfused composition. Activations here have grown by the two
+  # leaky-conv layers (measured on-chip scale ~2), so the same
+  # accumulation-drift bound applies after the shared 5e-2 margin.
+  from frame_interpolation_tpu.ops import conv_stack_wide
+  head_w = jnp.asarray(rng.rand(1, 544, 960, 64), jnp.bfloat16)
+  kw0 = jnp.asarray(rng.randn(3, 3, 64, 128) * 0.05, jnp.float32)
+  bw0 = jnp.asarray(rng.randn(128) * 0.1, jnp.float32)
+  kw1 = jnp.asarray(rng.randn(3, 3, 128, 128) * 0.05, jnp.float32)
+  bw1 = jnp.asarray(rng.randn(128) * 0.1, jnp.float32)
+
+  @jax.jit
+  def wide_diff(img, k0, b0, k1, b1):
+    feat, pool = conv_stack_wide.wide_extractor_stack(img, k0, b0, k1, b1)
+    feat_r, pool_r = conv_stack._unfused_stack(
+        img, k0, b0, k1, b1, negative_slope=0.2, emit_pool=True)
+    dfw = jnp.max(jnp.abs(feat.astype(jnp.float32) -
+                          feat_r.astype(jnp.float32)))
+    dpw = jnp.max(jnp.abs(pool.astype(jnp.float32) -
+                          pool_r.astype(jnp.float32)))
+    return dfw, dpw
+
+  dfw, dpw = (float(v) for v in wide_diff(head_w, kw0, bw0, kw1, bw1))
+  assert dfw <= 5e-2 and dpw <= 5e-2, (
+      'wide-stack kernel parity FAILED', dfw, dpw)
+  print('bench: kernel parity OK (warp %.2e, splat %.2e, stack %.2e/%.2e, '
+        'wide %.2e/%.2e)' % (err, gerr, df, dp, dfw, dpw), file=sys.stderr)
   return True
 
 
