@@ -343,10 +343,10 @@ def _channel_block(c: int, plane_dtype, g: int) -> int:
   return -(-c // n_blocks)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'g'))
+@functools.partial(jax.jit, static_argnames=('interpret', 'g', 'clamp_h'))
 def _forward(image: jnp.ndarray, flow: jnp.ndarray,
              interpret: bool = False, g: int = 1,
-             row_offset=0) -> jnp.ndarray:
+             row_offset=0, src_row0=0, clamp_h=None) -> jnp.ndarray:
   """Warp for a batch: image (B, H, W, C), flow (B, Hout, W, 2).
 
   The whole batch runs as ONE pallas_call: the grid gains a leading batch
@@ -367,7 +367,16 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
   h_out = flow.shape[1]
   assert flow.shape[2] == w, (flow.shape, image.shape)
   out_dtype = image.dtype
-  iy, ix, ay, ax = _query_coords(h, w, flow, row_offset)
+  # Halo-bounded row sharding passes `image` as an EXTENSION of source
+  # rows starting at global row `src_row0` (traced), with `clamp_h` the
+  # GLOBAL height: queries are computed — and tfa-clamped — in global
+  # coordinates (bit-identical maps to the full-frame path), then only
+  # the integer row corners shift into extension space. The caller
+  # guarantees every shifted corner (and its +1 tap) is materialized.
+  iy, ix, ay, ax = _query_coords(h if clamp_h is None else clamp_h, w,
+                                 flow, row_offset)
+  if clamp_h is not None:
+    iy = iy - src_row0
 
   gh = g * _TH
   hp = _round_up(h_out, gh)
@@ -475,6 +484,26 @@ def _bwd(interpret, residuals, g):
 backward_warp_window.defvjp(_fwd, _bwd)
 
 
+def _halo_slab_count(slab: int, n: int) -> int:
+  """Halo half-width in SLABS for the row-sharded warp, or 0 (full gather).
+
+  The architecture's resolvable motion is bounded (~192 px: 7 pyramid
+  levels x up-to-64 px per level, reference models/film_net/options.py:
+  30-34), so a +-k-slab halo with k*slab > 192 covers every realistic
+  flow; exactness for arbitrary flow is preserved at runtime by the
+  pmax predicate in backward_warp_window_rows. Returns 0 when the halo
+  would not actually move fewer bytes than the all-gather (2k sends per
+  device vs n-1), or when FI_WARP_ROWS_HALO=0 pins the all-gather.
+  """
+  if os.environ.get('FI_WARP_ROWS_HALO', '1') == '0':
+    return 0
+  env = os.environ.get('FI_WARP_ROWS_HALO_SLABS')
+  k = int(env) if env else -(-192 // slab)
+  if 2 * k >= n - 1 or k < 1:
+    return 0
+  return k
+
+
 def backward_warp_window_rows(image: jnp.ndarray,
                               flow: jnp.ndarray) -> jnp.ndarray:
   """Row-sharded window warp for spatially-sharded (GSPMD) forwards.
@@ -483,12 +512,25 @@ def backward_warp_window_rows(image: jnp.ndarray,
   GSPMD-partitioned forward previously had to fall back to the ~4.5x
   slower XLA gather at every warp site (parallel/inference.py round 3).
   This wrapper keeps the kernel: inside `jax.shard_map` over the mesh
-  declared by ops.warp.spmd_rows_mesh, each device all-gathers the source
-  plane rows (taps are data-dependent and, at 8-way sharding of 1080p,
-  the tap range exceeds a neighbor halo — the gather fallback's GSPMD
-  partition moves the same bytes) and runs the kernel on its LOCAL slab
-  of output rows via the `row_offset` query shift — compute stays 1/n per
-  device, clamping semantics stay exactly the full-frame ones.
+  declared by ops.warp.spmd_rows_mesh, each device assembles the source
+  rows its taps can reach and runs the kernel on its LOCAL slab of output
+  rows via the `row_offset` query shift — compute stays 1/n per device,
+  clamping semantics stay exactly the full-frame ones.
+
+  Source assembly is HALO-BOUNDED when that moves fewer bytes: each
+  device exchanges k slabs per side over ICI (2k ppermute sends vs the
+  all-gather's n-1), sized so k*slab exceeds the architecture's ~192 px
+  motion ceiling (reference models/film_net/options.py:30-34). Flow is
+  data-dependent, so exactness is enforced at RUNTIME: the devices agree
+  on pmax(|flow_y|) and lax.cond-switch to the full all-gather whenever
+  any query could leave the halo — every device takes the same branch,
+  so the collectives inside the branches stay matched. Within the halo
+  the result is BIT-exact with the full-frame path: queries are computed
+  and tfa-clamped in GLOBAL coordinates (same float maps as the
+  all-gather branch), and only the clamped integer row corners shift
+  (exactly, in int32) into extension space — the clamp keeps them on
+  materialized rows, so edge-of-frame semantics are the global ones by
+  construction.
 
   Falls back to the plain gather warp (which GSPMD partitions cleanly)
   when no mesh context is installed, when the rows do not divide evenly,
@@ -515,13 +557,45 @@ def backward_warp_window_rows(image: jnp.ndarray,
   interpret = platform != 'tpu'
   g = _group_from_env()
   slab = h // n
+  k = _halo_slab_count(slab, n)
   import jax.sharding as shd
   spec = shd.PartitionSpec(None, axis)
 
   def per_shard(img, flo):
-    full = jax.lax.all_gather(img, axis, axis=1, tiled=True)
     row0 = jax.lax.axis_index(axis) * slab
-    return _forward(full, flo, interpret, g=g, row_offset=row0)
+
+    def full_gather(_):
+      full = jax.lax.all_gather(img, axis, axis=1, tiled=True)
+      return _forward(full, flo, interpret, g=g, row_offset=row0)
+
+    if k == 0:
+      return full_gather(None)
+
+    def halo(_):
+      # ext = global rows [(d-k)*slab, (d+k+1)*slab): k slabs from each
+      # side via ppermute (zero-filled at the mesh edges — never read:
+      # the global tfa clamp keeps every tap inside the image rows).
+      parts = []
+      for j in range(k, 0, -1):
+        parts.append(jax.lax.ppermute(
+            img, axis, [(i, i + j) for i in range(n - j)]))
+      parts.append(img)
+      for j in range(1, k + 1):
+        parts.append(jax.lax.ppermute(
+            img, axis, [(i + j, i) for i in range(n - j)]))
+      ext = jnp.concatenate(parts, axis=1)
+      # Queries stay in GLOBAL coordinates (clamp_h=h) so the maps are
+      # bit-identical to the all-gather branch; only the integer row
+      # corners shift by the extension's global start row.
+      return _forward(ext, flo, interpret, g=g, row_offset=row0,
+                      src_row0=row0 - k * slab, clamp_h=h)
+
+    # All devices agree on the predicate (pmax), so both collective
+    # branches stay matched; bound k*slab - 1 keeps floor(q)+1 inside
+    # the materialized extension rows.
+    vmax = jax.lax.pmax(jnp.max(jnp.abs(flo[..., 1])), axis)
+    return jax.lax.cond(vmax <= float(k * slab - 1), halo, full_gather,
+                        None)
 
   return jax.shard_map(per_shard, mesh=mesh, in_specs=(spec, spec),
                        out_specs=spec, check_vma=False)(image, flow)

@@ -1,4 +1,6 @@
 """Multi-chip patch-sharded inference tests (8-device virtual CPU mesh)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -165,6 +167,70 @@ def test_window_rows_warp_matches_gather():
         lambda i, f: warp.backward_warp_impl(i, f, 'window_rows'))(img, flow)
   want = warp.backward_warp(img, flow)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_window_rows_halo_branch_matches_gather(monkeypatch):
+  # Halo-bounded source assembly (VERDICT round-4 item 7): with
+  # FI_WARP_ROWS_HALO_SLABS=3 on 8x8-row slabs the runtime bound is
+  # |flow_y| <= 23; flow within it takes the ppermute-halo branch, which
+  # must be exact vs the full-frame warp INCLUDING queries clipped at the
+  # global top/bottom edges (the pre-clip-to-[0,H-1] path).
+  import jax.numpy as jnp
+  from frame_interpolation_tpu.ops import warp
+  from frame_interpolation_tpu.parallel import mesh as mesh_lib
+
+  monkeypatch.setenv('FI_WARP_ROWS_HALO_SLABS', '3')
+  rng = np.random.RandomState(8)
+  mesh = create_mesh(jax.devices())
+  img = jnp.asarray(rng.rand(1, 64, 256, 3), np.float32)
+  flow_np = (rng.rand(1, 64, 256, 2) - 0.5) * 40  # |v| <= 20 < 23
+  # Push edge rows hard against the global clip in both directions.
+  flow_np[0, :4, :, 1] = -20.0
+  flow_np[0, -4:, :, 1] = 20.0
+  flow = jnp.asarray(flow_np, np.float32)
+
+  with warp.spmd_rows_mesh(mesh, mesh_lib.DATA_AXIS):
+    got = jax.jit(
+        lambda i, f: warp.backward_warp_impl(i, f, 'window_rows'))(img, flow)
+  want = warp.backward_warp(img, flow)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_window_rows_halo_cond_falls_back_on_large_flow(monkeypatch):
+  # One flow value beyond the halo bound: every device must agree (pmax)
+  # and take the all-gather branch — still exact vs the full-frame warp.
+  import jax.numpy as jnp
+  from frame_interpolation_tpu.ops import warp
+  from frame_interpolation_tpu.parallel import mesh as mesh_lib
+
+  monkeypatch.setenv('FI_WARP_ROWS_HALO_SLABS', '3')
+  rng = np.random.RandomState(9)
+  mesh = create_mesh(jax.devices())
+  img = jnp.asarray(rng.rand(1, 64, 256, 3), np.float32)
+  flow_np = (rng.rand(1, 64, 256, 2) - 0.5) * 10
+  flow_np[0, 33, 100, 1] = 48.0  # > 23: outside any 3-slab halo
+  flow = jnp.asarray(flow_np, np.float32)
+
+  with warp.spmd_rows_mesh(mesh, mesh_lib.DATA_AXIS):
+    got = jax.jit(
+        lambda i, f: warp.backward_warp_impl(i, f, 'window_rows'))(img, flow)
+  want = warp.backward_warp(img, flow)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_window_rows_halo_gate():
+  # The static gate: halo only engages when 2k < n-1 sends actually save
+  # bytes; FI_WARP_ROWS_HALO=0 pins the all-gather.
+  from frame_interpolation_tpu.ops import warp_window
+
+  assert warp_window._halo_slab_count(8, 8) == 0     # ceil(192/8)=24 slabs
+  assert warp_window._halo_slab_count(136, 8) == 2   # 1088/8: 2x136 >= 192
+  assert warp_window._halo_slab_count(136, 4) == 0   # 2k=4 >= n-1=3
+  os.environ['FI_WARP_ROWS_HALO'] = '0'
+  try:
+    assert warp_window._halo_slab_count(136, 8) == 0
+  finally:
+    del os.environ['FI_WARP_ROWS_HALO']
 
 
 def test_window_rows_falls_back_without_context_and_on_small_planes():
