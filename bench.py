@@ -66,7 +66,8 @@ def bench_video():
       dtype_policy=dtype_policy, use_aux_outputs=False,
       warp_impl=warp_impl,
       fold_convs=os.environ.get('BENCH_FOLD', 'auto'),
-      conv_stack=os.environ.get('BENCH_STACK', 'auto'))
+      conv_stack=os.environ.get('BENCH_STACK', 'auto'),
+      split_convs=os.environ.get('BENCH_SPLIT', 'auto'))
   model = FilmNet(options)
   params = init_params(model, jax.random.PRNGKey(0))
   interp = Interpolator(params, options, align=64, block_shape=block_shape)
@@ -414,7 +415,8 @@ def main():
   options = Options.film_net_released(
       dtype_policy=dtype_policy, use_aux_outputs=False, warp_impl=warp_impl,
       fold_convs=os.environ.get('BENCH_FOLD', 'auto'),
-      conv_stack=os.environ.get('BENCH_STACK', 'auto'))
+      conv_stack=os.environ.get('BENCH_STACK', 'auto'),
+      split_convs=os.environ.get('BENCH_SPLIT', 'auto'))
   model = FilmNet(options)
   params = init_params(model, jax.random.PRNGKey(0))
   align = 64

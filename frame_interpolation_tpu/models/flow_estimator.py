@@ -15,6 +15,7 @@ bfloat16 compute policy — sub-pixel flow precision is a PSNR landmine.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List
 
 import flax.linen as nn
@@ -61,23 +62,49 @@ class FlowEstimator(nn.Module):
             name=f'conv_{self.num_convs + 1}'))
     self.convs = convs
 
-  def _fold(self, x: jnp.ndarray) -> bool:
-    return folded_conv.should_fold(self.options.fold_convs,
-                                   self.num_filters, x.shape)
+  def _fold_levels(self, x: jnp.ndarray) -> int:
+    """0 = unfolded, 1 = W-folded, 2 = quad-folded (4 px per lane row).
+
+    Quad engages for the 32-filter predictor (released flow_filters[0]),
+    whose once-folded 64-lane convs XLA still pads to 128 lanes — quad
+    makes the whole chain lane-exact, halving its real HBM traffic again.
+    """
+    mode = self.options.fold_convs
+    if (x.shape[-2] % 4 == 0 and
+        os.environ.get('FI_QUAD_FOLD', '1') != '0' and
+        folded_conv.should_fold(mode, 2 * self.num_filters, x.shape)):
+      return 2
+    if folded_conv.should_fold(mode, self.num_filters, x.shape):
+      return 1
+    return 0
 
   def __call__(self, features_a: jnp.ndarray,
                features_b: jnp.ndarray) -> jnp.ndarray:
-    if self._fold(features_a):
-      pieces = (features_a.shape[-1], features_b.shape[-1])
-      net = jnp.concatenate([folded_conv.fold(features_a),
-                             folded_conv.fold(features_b)], axis=-1)
-      net = _leaky_relu(self.convs[0](net, folded=True, piece_sizes=pieces))
+    split = folded_conv.should_split(self.options.split_convs)
+    lvl = self._fold_levels(features_a)
+    if lvl:
+      fa = folded_conv.fold_n(features_a, lvl)
+      fb = folded_conv.fold_n(features_b, lvl)
+      if split:
+        # conv(concat) == sum of per-piece convs: the (features, warped)
+        # concat — ~16.5 ms/frame of HBM copies at 1080p — is never built.
+        net = _leaky_relu(self.convs[0](
+            [fa, fb], folded=lvl,
+            piece_sizes=[(features_a.shape[-1],), (features_b.shape[-1],)]))
+      else:
+        pieces = (features_a.shape[-1], features_b.shape[-1])
+        net = _leaky_relu(self.convs[0](jnp.concatenate([fa, fb], axis=-1),
+                                        folded=lvl, piece_sizes=pieces))
       for conv in self.convs[1:-1]:
-        net = _leaky_relu(conv(net, folded=True))
-      net = self.convs[-1](net.astype(jnp.float32), folded=True)
-      return folded_conv.unfold(net)
-    net = jnp.concatenate([features_a, features_b], axis=-1)
-    for conv in self.convs[:-1]:
+        net = _leaky_relu(conv(net, folded=lvl))
+      net = self.convs[-1](net.astype(jnp.float32), folded=lvl)
+      return folded_conv.unfold_n(net, lvl)
+    if split:
+      net = _leaky_relu(self.convs[0]([features_a, features_b]))
+    else:
+      net = _leaky_relu(self.convs[0](
+          jnp.concatenate([features_a, features_b], axis=-1)))
+    for conv in self.convs[1:-1]:
       net = _leaky_relu(conv(net))
     # Final conv: no activation, f32 output (flow values).
     net = self.convs[-1](net.astype(jnp.float32))

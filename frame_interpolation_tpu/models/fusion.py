@@ -75,6 +75,7 @@ class Fusion(nn.Module):
     # fusion.py:121-127) — features are already spatially aligned by warp.
     net = pyramid[-1]
     net_folded = False
+    split = folded_conv.should_split(self.options.split_convs)
     for i in reversed(range(0, len(pyramid) - 1)):
       entry = pyramid[i]
       if isinstance(entry, folded_conv.Folded):
@@ -83,18 +84,28 @@ class Fusion(nn.Module):
         assert not net_folded and entry.x.shape[-3] == 2 * net.shape[-3]
         netf = folded_conv.resize_nearest_2x_folded(net)
         netf = self.convs[i][0](netf, folded=True)  # 2x2 conv, no act.
-        xf = jnp.concatenate([entry.x, netf], axis=-1)
-        pieces = entry.pieces + (self.convs[i][0].features,)
-        net = _leaky_relu(self.convs[i][1](xf, folded=True,
-                                           piece_sizes=pieces))
+        if split:
+          # conv(concat(skip, net)) as sliced-weight convs summed: the
+          # ~850 MB skip concat at 1080p is never materialized.
+          net = _leaky_relu(self.convs[i][1](
+              [entry.x, netf], folded=True,
+              piece_sizes=[entry.pieces, (self.convs[i][0].features,)]))
+        else:
+          xf = jnp.concatenate([entry.x, netf], axis=-1)
+          pieces = entry.pieces + (self.convs[i][0].features,)
+          net = _leaky_relu(self.convs[i][1](xf, folded=True,
+                                             piece_sizes=pieces))
         net = _leaky_relu(self.convs[i][2](net, folded=True))
         net_folded = True
       else:
         h, w = entry.shape[-3], entry.shape[-2]
         net = resize.resize_nearest(net, (h, w))
         net = self.convs[i][0](net)  # 2x2 conv, no activation
-        net = jnp.concatenate([entry, net], axis=-1)
-        net = _leaky_relu(self.convs[i][1](net))
+        if split:
+          net = _leaky_relu(self.convs[i][1]([entry, net]))
+        else:
+          net = jnp.concatenate([entry, net], axis=-1)
+          net = _leaky_relu(self.convs[i][1](net))
         net = _leaky_relu(self.convs[i][2](net))
     net = self.output_conv(net.astype(jnp.float32), folded=net_folded)
     if net_folded:

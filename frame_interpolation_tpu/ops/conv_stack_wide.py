@@ -182,16 +182,23 @@ def _flat_stack_kernel(xflat, w_ref, b_ref, out_ref, pool_ref, buf, sem,
 def conv_flat(xflat: jnp.ndarray, w, b, g: FlatGeometry,
               negative_slope: float = 0.2, emit_pool: bool = True,
               interpret: bool = False):
-  """conv3x3+bias+leaky(+half-pool) over a guarded flat (r_total, c) plane.
+  """conv3x3+bias+leaky(+half-pool) over a guarded flat (r, cin) plane.
 
-  w: (3, 3, c, c) HWIO weights in the plane dtype; b: (c,) f32.
-  Returns (features_flat, pool_half) — pool_half is the 0.25-scaled
-  row-pair sum at (r_total//2, c) (None when emit_pool is False). Both
-  carry the guard masking, so features chain into further flat convs.
+  w: (3, 3, cin, c) HWIO weights in the plane dtype — RECTANGULAR taps
+  are supported (cin need not equal g.c, only be a 128-lane multiple):
+  every tap is then a dense (cin, c) contraction, which lets a
+  sub-level's FIRST conv (cfeat_conv_4/6: 128->256, 256->512) run in the
+  same window pipeline instead of XLA (measured 3-8x over its traffic
+  floor at those shapes). b: (c,) f32. Returns (features_flat,
+  pool_half) — pool_half is the 0.25-scaled row-pair sum at
+  (r_total//2, c) (None when emit_pool is False). Both carry the guard
+  masking, so features chain into further flat convs.
   """
   c = g.c
-  assert xflat.shape == (g.r_total, c), (xflat.shape, g)
-  assert w.shape == (3, 3, c, c), w.shape
+  cin = w.shape[2]
+  assert cin % 128 == 0, w.shape
+  assert xflat.shape == (g.r_total, cin), (xflat.shape, g)
+  assert w.shape == (3, 3, cin, c), w.shape
   win_h = (g.tm + 2) * g.gw + 32
   chunk = 2 * g.gw
   m = g.tm * g.gw
@@ -214,7 +221,7 @@ def conv_flat(xflat: jnp.ndarray, w, b, g: FlatGeometry,
       out_specs=tuple(out_specs),
       out_shape=tuple(out_shape),
       scratch_shapes=[
-          pltpu.VMEM((2, win_h, c), xflat.dtype),
+          pltpu.VMEM((2, win_h, cin), xflat.dtype),
           pltpu.SemaphoreType.DMA((2,)),
       ],
       compiler_params=pltpu.CompilerParams(
@@ -301,23 +308,38 @@ def _wide_stack_impl(head: jnp.ndarray, kernel0, bias0, kernel1, bias1,
   Returns (features (N, H, W, c), pooled (N, H/2, W/2, c) or None), both
   post-activation.
   """
-  n, h, w, _ = head.shape
+  n, h, w, cin = head.shape
   dtype = head.dtype
   c = kernel1.shape[-1]
   g = flat_geometry(h, w, c, tm=default_tm_wide(c))
   w0 = kernel0.astype(dtype)
   b0 = bias0.astype(dtype)
   w1 = kernel1.astype(dtype)
+  # Lane-exact heads (cfeat_conv_4/6: cin 128/256) run conv0 in the same
+  # flat window pipeline — XLA's conv at those deep-narrow shapes sits
+  # 3-8x over the traffic floor (round-5 trace). The rows-SPMD path
+  # (valid_rows) keeps the XLA conv0: its slab-edge zeroing is fused into
+  # that conv's epilogue mask. FI_WIDE_FLAT_CONV0=0 pins the XLA conv0
+  # (A/B control).
+  flat_conv0 = (cin % 128 == 0 and valid_rows is None and
+                os.environ.get('FI_WIDE_FLAT_CONV0', '1') != '0')
 
   def one(frame):
     tall = pad_image_tall_flat(frame, g)
-    y0 = jax.lax.conv_general_dilated(
-        tall[None], w0, (1, 1), 'SAME',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0] + b0
-    y0 = jnp.where(y0 >= 0, y0, y0 * negative_slope)
-    y0 = conv_stack.apply_valid_rows(mask_tall_flat(y0, g), g.tm + 2,
-                                     valid_rows)
-    xflat = y0.reshape(g.r_total, c)
+    if flat_conv0:
+      y0_flat, _ = conv_flat(
+          tall.reshape(g.r_total, cin), w0, bias0, g,
+          negative_slope=negative_slope, emit_pool=False,
+          interpret=interpret)
+      xflat = y0_flat
+    else:
+      y0 = jax.lax.conv_general_dilated(
+          tall[None], w0, (1, 1), 'SAME',
+          dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0] + b0
+      y0 = jnp.where(y0 >= 0, y0, y0 * negative_slope)
+      y0 = conv_stack.apply_valid_rows(mask_tall_flat(y0, g), g.tm + 2,
+                                       valid_rows)
+      xflat = y0.reshape(g.r_total, c)
     feat_flat, pool_half = conv_flat(
         xflat, w1, bias1, g, negative_slope=negative_slope,
         emit_pool=emit_pool, interpret=interpret)

@@ -47,6 +47,20 @@ def unfold(y: jnp.ndarray) -> jnp.ndarray:
   return y.reshape(n, h, wp * 2, c2 // 2)
 
 
+def fold_n(x: jnp.ndarray, levels: int) -> jnp.ndarray:
+  """`levels` applications of fold; level 2 = quad fold (4 px per lane
+  row), which keeps 32-filter conv chains 128-lane-exact."""
+  for _ in range(levels):
+    x = fold(x)
+  return x
+
+
+def unfold_n(y: jnp.ndarray, levels: int) -> jnp.ndarray:
+  for _ in range(levels):
+    y = unfold(y)
+  return y
+
+
 def fold_weights(w: jnp.ndarray,
                  piece_sizes: Sequence[int] = ()) -> jnp.ndarray:
   """(KH, KW, Cin, Cout) conv weights -> (KH, KW', 2Cin, 2Cout) folded.
@@ -124,18 +138,38 @@ class FoldableConv(nn.Module):
 
   Parameters (name, shape, init, dtype handling) are identical to
   flax.linen.Conv with the same arguments, so init_params trees and
-  checkpoint imports are unchanged. __call__(x, folded=True) expects a
-  folded input (N, H, W/2, 2*Cin) and produces a folded output.
+  checkpoint imports are unchanged. __call__(x, folded=k) expects a
+  k-times-folded input (N, H, W/2^k, 2^k*Cin) and produces a k-folded
+  output (folded=True == 1; k=2 is the quad layout that keeps 32-filter
+  chains 128-lane-exact).
+
+  SPLIT-CONCAT mode: pass `x` as a LIST of arrays to compute the conv of
+  their channel concatenation WITHOUT materializing the concat —
+  conv(concat(x1, .., xk), W) == sum_i conv(x_i, W[:, :, off_i:off_i+c_i])
+  with the bias added once. The round-5 device trace shows the concats
+  feeding the flow-predictor and fusion skip convs costing ~31 ms/frame
+  of pure HBM writes+reads at 1080p; the split form reads each piece in
+  place. Identical math up to float accumulation order (the per-piece
+  partial sums are added in the compute dtype). In split+folded mode,
+  every piece must be individually folded and `piece_sizes` is a per-
+  piece sequence of sub-piece tuples (as produced by fold_pieces).
   """
   features: int
   kernel_size: Tuple[int, int]
   dtype: jnp.dtype = jnp.float32
 
   @nn.compact
-  def __call__(self, x: jnp.ndarray, folded: bool = False,
-               piece_sizes: Sequence[int] = (), raw: bool = False):
+  def __call__(self, x, folded=False, piece_sizes: Sequence = (),
+               raw: bool = False):
     kh, kw = self.kernel_size
-    cin = x.shape[-1] // 2 if folded else x.shape[-1]
+    levels = int(folded)  # 0 = unfolded, 1 = W-folded, 2 = quad-folded
+    div = 1 << levels
+    split = isinstance(x, (list, tuple))
+    if split:
+      sizes = [p.shape[-1] // div for p in x]
+      cin = sum(sizes)
+    else:
+      cin = x.shape[-1] // div
     kernel = self.param('kernel', nn.initializers.lecun_normal(),
                         (kh, kw, cin, self.features), jnp.float32)
     bias = self.param('bias', nn.initializers.zeros, (self.features,),
@@ -147,15 +181,54 @@ class FoldableConv(nn.Module):
       # outside any lax.map/scan the fused path may run under — keeps
       # flax's scope out of traced loop bodies.
       return kernel, bias
+
+    def conv(xi, ki):
+      return jax.lax.conv_general_dilated(
+          xi, ki, (1, 1), 'SAME',
+          dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    def fold_k(k, sub):
+      # Level i re-folds the (i-1)-folded weights; piece channel counts
+      # double per level (fold(fold(x)) == the quad pixel layout
+      # [LL LR RL RR], so the composition is exact by induction).
+      for i in range(levels):
+        k = fold_weights(k, tuple(s << i for s in sub))
+      return k
+
+    if split:
+      promoted = nn.dtypes.promote_dtype(*x, kernel, bias, dtype=self.dtype)
+      xs, kernel, bias = promoted[:-2], promoted[-2], promoted[-1]
+      subs = list(piece_sizes) if piece_sizes else [()] * len(xs)
+      assert len(subs) == len(xs), (len(subs), len(xs))
+      y = None
+      off = 0
+      for xi, size, sub in zip(xs, sizes, subs):
+        ki = jax.lax.slice_in_dim(kernel, off, off + size, axis=2)
+        ki = fold_k(ki, tuple(sub) or (size,))
+        yi = conv(xi, ki)
+        y = yi if y is None else y + yi
+        off += size
+      for _ in range(levels):
+        bias = fold_bias(bias)
+      return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
     x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                               dtype=self.dtype)
-    if folded:
-      kernel = fold_weights(kernel, piece_sizes)
+    kernel = fold_k(kernel, tuple(piece_sizes) or (cin,))
+    for _ in range(levels):
       bias = fold_bias(bias)
-    y = jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), 'SAME',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    y = conv(x, kernel)
     return y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+
+
+def should_split(mode: str) -> bool:
+  """The split-concat-conv gate shared by every splitting call site.
+
+  `mode` is options.split_convs ('off'/'on'/'auto'). The split form is
+  plain XLA and exact up to accumulation order, so 'auto' simply engages
+  it everywhere; the knob exists for A/B measurement and fallback.
+  """
+  return mode != 'off'
 
 
 def should_fold(mode: str, features: int, shape,

@@ -52,6 +52,13 @@ class Options:
       XLA's 128-lane padding would inflate HBM traffic), 'on' (fold every
       eligible layer; tests), or 'off'. Numerically equivalent up to
       accumulation order (pinned in tests).
+    split_convs: split-concat execution of convs whose input is a channel
+      concat (the flow predictors' (features, warped) inputs and the
+      fusion decoder's (skip, upsampled) inputs): the conv runs per piece
+      with sliced weights and the partial sums are added, so the concat
+      is never materialized in HBM (~31 ms/frame of copies at 1080p).
+      'auto'/'on' engage it, 'off' restores the literal concat form.
+      Numerically equivalent up to accumulation order (pinned in tests).
     conv_stack: fused conv+pool execution of the extractor's sub-level-0
       stacks (ops/conv_stack.py: second conv + bias + leaky + 2x2 avg-pool
       as ONE Pallas kernel over a natively-produced guarded pair-flat
@@ -73,6 +80,7 @@ class Options:
   warp_impl: str = 'gather'
   fold_convs: str = 'auto'
   conv_stack: str = 'auto'
+  split_convs: str = 'auto'
 
   def __post_init__(self):
     if self.pyramid_levels < self.fusion_pyramid_levels:
@@ -87,6 +95,8 @@ class Options:
       raise ValueError(f'Unknown fold_convs: {self.fold_convs}')
     if self.conv_stack not in ('auto', 'on', 'off', 'interpret'):
       raise ValueError(f'Unknown conv_stack: {self.conv_stack}')
+    if self.split_convs not in ('auto', 'on', 'off'):
+      raise ValueError(f'Unknown split_convs: {self.split_convs}')
 
   @property
   def compute_dtype(self):

@@ -151,3 +151,46 @@ def test_feature_extractor_wide_stack_parity():
   assert len(got) == len(want)
   for g, w_ in zip(got, want):
     np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=1e-4)
+
+
+@pytest.mark.parametrize('h,w,cin,c', [(8, 16, 128, 256), (6, 10, 256, 512),
+                                       (10, 20, 256, 128)])
+def test_conv_flat_rectangular_matches_conv(h, w, cin, c):
+  """Rect (cin, c) taps: the sub-level FIRST convs run in the window
+  pipeline too (cfeat_conv_4/6, reference feature_extractor.py:119-147)."""
+  rng = np.random.RandomState(hash((h, w, cin, c)) % 2**31)
+  x = jnp.asarray(rng.rand(1, h, w, cin) - 0.5, jnp.float32)
+  k = jnp.asarray((rng.rand(3, 3, cin, c) - 0.5) * 0.1, jnp.float32)
+  b = jnp.asarray(rng.rand(c) - 0.5, jnp.float32)
+  g = conv_stack_wide.flat_geometry(h, w, c, tm=4)
+  tall = conv_stack_wide.pad_image_tall_flat(x[0], g)
+  feat_flat, _ = conv_stack_wide.conv_flat(
+      tall.reshape(g.r_total, cin), k, b, g, emit_pool=False,
+      interpret=True)
+  got = conv_stack_wide.features_from_flat(feat_flat, g)
+  want = _leaky(_conv(x, k, b))[0]
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize('emit_pool', [True, False])
+def test_wide_stack_flat_conv0_matches_unfused(emit_pool):
+  """cin % 128 == 0 routes conv0 through the rect flat kernel; the whole
+  sub-level must still match the unfused stack."""
+  rng = np.random.RandomState(21 + emit_pool)
+  cin, c = 128, 256
+  h, w = 8, 20
+  head = jnp.asarray(rng.rand(1, h, w, cin) - 0.5, jnp.float32)
+  k0 = jnp.asarray((rng.rand(3, 3, cin, c) - 0.5) * 0.1, jnp.float32)
+  b0 = jnp.asarray(rng.rand(c) - 0.5, jnp.float32)
+  k1 = jnp.asarray((rng.rand(3, 3, c, c) - 0.5) * 0.05, jnp.float32)
+  b1 = jnp.asarray(rng.rand(c) - 0.5, jnp.float32)
+  feat, pooled = conv_stack_wide.wide_extractor_stack(
+      head, k0, b0, k1, b1, emit_pool=emit_pool, interpret=True)
+  want_feat, want_pool = _reference_stack(head, k0, b0, k1, b1, emit_pool)
+  np.testing.assert_allclose(np.asarray(feat), np.asarray(want_feat),
+                             atol=1e-4)
+  if emit_pool:
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_pool),
+                               atol=1e-4)
+  else:
+    assert pooled is None

@@ -146,3 +146,94 @@ def test_model_fold_auto_odd_height():
   out_off = model_off.apply({'params': params}, x0, x1, t)['image']
   np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_off),
                              rtol=1e-5, atol=1e-5)
+
+
+def test_split_call_matches_concat_call():
+  """FoldableConv list-input mode == conv of the channel concat (split-
+  concat execution, options.split_convs)."""
+  rng = np.random.RandomState(3)
+  a = jnp.asarray(rng.rand(1, 8, 12, 5) - 0.5, jnp.float32)
+  b = jnp.asarray(rng.rand(1, 8, 12, 7) - 0.5, jnp.float32)
+  conv = folded_conv.FoldableConv(features=6, kernel_size=(3, 3))
+  params = conv.init(jax.random.PRNGKey(0), jnp.concatenate([a, b], -1))
+  want = conv.apply(params, jnp.concatenate([a, b], axis=-1))
+  got = conv.apply(params, [a, b])
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_split_call_matches_concat_call_folded():
+  """Folded split mode: per-piece folded inputs with per-piece sub-piece
+  layouts must equal the folded conv of the piece concat."""
+  rng = np.random.RandomState(4)
+  p1 = jnp.asarray(rng.rand(1, 8, 12, 3) - 0.5, jnp.float32)
+  p2 = jnp.asarray(rng.rand(1, 8, 12, 5) - 0.5, jnp.float32)
+  q = jnp.asarray(rng.rand(1, 8, 12, 4) - 0.5, jnp.float32)
+  conv = folded_conv.FoldableConv(features=6, kernel_size=(3, 3))
+  params = conv.init(jax.random.PRNGKey(0),
+                     jnp.concatenate([p1, p2, q], -1))
+  # Reference: one folded conv over concat(fold(p1), fold(p2), folded_conv.fold(q)).
+  xs = folded_conv.fold_pieces([p1, p2, q])
+  want = conv.apply(params, xs.x, folded=True, piece_sizes=xs.pieces)
+  # Split: piece A = concat(fold(p1), fold(p2)) with sub-layout (3, 5),
+  # piece B = folded_conv.fold(q).
+  xa = folded_conv.fold_pieces([p1, p2])
+  got = conv.apply(params, [xa.x, folded_conv.fold(q)], folded=True,
+                   piece_sizes=[xa.pieces, (4,)])
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize('dtype_policy', ['float32', 'bfloat16'])
+def test_model_split_on_matches_off(dtype_policy):
+  """Full released-config forward: split_convs on == off (accumulation
+  order only)."""
+  import dataclasses as dc
+  rng = np.random.RandomState(7)
+  x0 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
+  x1 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
+  t = jnp.full((1, 1), 0.5, jnp.float32)
+  base = Options.film_net_released(dtype_policy=dtype_policy,
+                                   use_aux_outputs=False)
+  model_on = FilmNet(dc.replace(base, split_convs='on'))
+  model_off = FilmNet(dc.replace(base, split_convs='off'))
+  params = init_params(model_on, jax.random.PRNGKey(0))
+  y_on = model_on.apply({'params': params}, x0, x1, t)['image']
+  y_off = model_off.apply({'params': params}, x0, x1, t)['image']
+  tol = 3e-2 if dtype_policy == 'bfloat16' else 2e-6
+  np.testing.assert_allclose(np.asarray(y_on, np.float32),
+                             np.asarray(y_off, np.float32), atol=tol)
+
+
+def test_quad_fold_matches_plain_conv():
+  """Quad fold (folded=2): fold∘fold with twice-folded weights == plain
+  conv, incl. 1x1 kernels and split pieces (the 32-filter flow predictor
+  path, reference pyramid_flow_estimator.py:49-98)."""
+  rng = np.random.RandomState(12)
+  x = jnp.asarray(rng.rand(1, 8, 16, 6) - 0.5, jnp.float32)
+  for ks in ((3, 3), (1, 1)):
+    conv = folded_conv.FoldableConv(features=5, kernel_size=ks)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    want = conv.apply(params, x)
+    got = folded_conv.unfold_n(
+        conv.apply(params, folded_conv.fold_n(x, 2), folded=2), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_quad_fold_split_and_concat_pieces():
+  rng = np.random.RandomState(13)
+  a = jnp.asarray(rng.rand(1, 8, 16, 3) - 0.5, jnp.float32)
+  b = jnp.asarray(rng.rand(1, 8, 16, 5) - 0.5, jnp.float32)
+  conv = folded_conv.FoldableConv(features=4, kernel_size=(3, 3))
+  params = conv.init(jax.random.PRNGKey(2), jnp.concatenate([a, b], -1))
+  want = conv.apply(params, jnp.concatenate([a, b], -1))
+  got_split = folded_conv.unfold_n(
+      conv.apply(params,
+                 [folded_conv.fold_n(a, 2), folded_conv.fold_n(b, 2)],
+                 folded=2, piece_sizes=[(3,), (5,)]), 2)
+  np.testing.assert_allclose(np.asarray(got_split), np.asarray(want),
+                             atol=1e-5)
+  xq = jnp.concatenate(
+      [folded_conv.fold_n(a, 2), folded_conv.fold_n(b, 2)], -1)
+  got_cat = folded_conv.unfold_n(
+      conv.apply(params, xq, folded=2, piece_sizes=(3, 5)), 2)
+  np.testing.assert_allclose(np.asarray(got_cat), np.asarray(want),
+                             atol=1e-5)
