@@ -389,8 +389,21 @@ def check_kernel_parity():
   dfw, dpw = (float(v) for v in wide_diff(head_w, kw0, bw0, kw1, bw1))
   assert dfw <= 5e-2 and dpw <= 5e-2, (
       'wide-stack kernel parity FAILED', dfw, dpw)
+
+  # 5. RECT flat conv0 (C=256 sub-level-2 at 1080p: 272x480, 128->256):
+  # cin % 128 == 0 routes the stack's first conv through the rectangular
+  # flat kernel too — exercise that compiled route on-chip.
+  head_r = jnp.asarray(rng.rand(1, 272, 480, 128), jnp.bfloat16)
+  kr0 = jnp.asarray(rng.randn(3, 3, 128, 256) * 0.04, jnp.float32)
+  br0 = jnp.asarray(rng.randn(256) * 0.1, jnp.float32)
+  kr1 = jnp.asarray(rng.randn(3, 3, 256, 256) * 0.04, jnp.float32)
+  br1 = jnp.asarray(rng.randn(256) * 0.1, jnp.float32)
+  dfr, dpr = (float(v) for v in wide_diff(head_r, kr0, br0, kr1, br1))
+  assert dfr <= 5e-2 and dpr <= 5e-2, (
+      'rect-conv0 wide-stack kernel parity FAILED', dfr, dpr)
   print('bench: kernel parity OK (warp %.2e, splat %.2e, stack %.2e/%.2e, '
-        'wide %.2e/%.2e)' % (err, gerr, df, dp, dfw, dpw), file=sys.stderr)
+        'wide %.2e/%.2e, rect %.2e/%.2e)'
+        % (err, gerr, df, dp, dfw, dpw, dfr, dpr), file=sys.stderr)
   return True
 
 
