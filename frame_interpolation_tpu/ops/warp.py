@@ -264,20 +264,31 @@ def _backward_warp_fwd(image, flow):
   return out, (image, flow, du, dv)
 
 
-def _backward_warp_bwd(residuals, g):
-  image, flow, du, dv = residuals
-  if du is None:
-    _, flow_vjp = jax.vjp(lambda f: _backward_warp_raw(image, f), flow)
-    g_flow, = flow_vjp(g)
-  else:
-    # Flow is per-pixel (diagonal Jacobian): g_flow[p, k] = sum_c
-    # g[p, c] * d out[p, c] / d flow[p, k] — the exact transpose of the
-    # linearization saved by the forward.
-    gf = g.astype(jnp.float32)
-    g_flow = jnp.stack(
-        [jnp.sum(gf * du.astype(jnp.float32), axis=-1),
-         jnp.sum(gf * dv.astype(jnp.float32), axis=-1)],
-        axis=-1).astype(flow.dtype)
+def flow_cotangent_from_planes(g, du, dv, flow_dtype):
+  """Flow cotangent from saved derivative planes (elementwise, no gathers).
+
+  Flow is per-pixel (diagonal Jacobian): g_flow[p, k] = sum_c
+  g[p, c] * d out[p, c] / d flow[p, k] — the exact transpose of the
+  linearization saved by the forward. Shared by this module's VJP and the
+  window kernel's (ops/warp_window.py), whose planes come from the kernel
+  itself instead of the gather formulation.
+  """
+  gf = g.astype(jnp.float32)
+  return jnp.stack(
+      [jnp.sum(gf * du.astype(jnp.float32), axis=-1),
+       jnp.sum(gf * dv.astype(jnp.float32), axis=-1)],
+      axis=-1).astype(flow_dtype)
+
+
+def image_cotangent(g, flow, image):
+  """Image cotangent of the warp: window-splat on TPU, scatter elsewhere.
+
+  XLA lowers the transpose-of-gather to a per-index serialized scatter on
+  TPU (measured ~100x the forward — PERF.md round 2), so the TPU branch
+  routes by shape to the Pallas splat kernels (ops/warp_splat.py); other
+  platforms keep XLA's own scatter. Selected at lowering time via
+  platform_dependent so one jaxpr serves both.
+  """
 
   def splat_image_grad(g, flow):
     from . import warp_splat
@@ -301,8 +312,18 @@ def _backward_warp_bwd(residuals, g):
     g_image, = image_vjp(g)
     return g_image
 
-  g_image = jax.lax.platform_dependent(g, flow, tpu=splat_image_grad,
-                                       default=scatter_image_grad)
+  return jax.lax.platform_dependent(g, flow, tpu=splat_image_grad,
+                                    default=scatter_image_grad)
+
+
+def _backward_warp_bwd(residuals, g):
+  image, flow, du, dv = residuals
+  if du is None:
+    _, flow_vjp = jax.vjp(lambda f: _backward_warp_raw(image, f), flow)
+    g_flow, = flow_vjp(g)
+  else:
+    g_flow = flow_cotangent_from_planes(g, du, dv, flow.dtype)
+  g_image = image_cotangent(g, flow, image)
   return g_image, g_flow
 
 

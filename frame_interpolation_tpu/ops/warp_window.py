@@ -50,7 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .warp import _query_coords, backward_warp
+from .warp import _query_coords, _query_coords_full, backward_warp
+from .warp import flow_cotangent_from_planes, image_cotangent
 
 _TH = 8     # output tile rows (sublanes)
 _TW = 128   # output tile cols (lanes); window cols too (Mosaic supports
@@ -68,20 +69,23 @@ def _win_step(g: int) -> int:
   return 8 * g + 8
 
 
-def _scratch_bytes_per_channel(plane_dtype, g: int) -> int:
+def _scratch_bytes_per_channel(plane_dtype, g: int,
+                               emit_planes: bool = False) -> int:
   """Kernel-scratch VMEM bytes per channel of the block, at group height g.
 
   Counts the triple-buffered (cb, 8g+16, 128) windows in the plane dtype,
   the f32 expansion scratch (bf16 planes only), the (cb, 8g, 128) f32
-  accumulator, and the output block.
+  accumulator(s), and the output block(s) — the planes mode (du/dv
+  emission for the VJP) carries two of each instead of one.
   """
   s = 2 if plane_dtype == jnp.bfloat16 else 4
   wh = _win_h(g)
   expand = wh * 4 if s == 2 else 0
-  return 128 * (wh * 3 * s + expand + 8 * g * 4 + 8 * g * s)
+  n_out = 2 if emit_planes else 1
+  return 128 * (wh * 3 * s + expand + n_out * (8 * g * 4 + 8 * g * s))
 
 
-def _max_channel_block(plane_dtype, g: int) -> int:
+def _max_channel_block(plane_dtype, g: int, emit_planes: bool = False) -> int:
   # Bounds the triple-buffered (C, 8g+16, 128) window VMEM plus the f32
   # expansion scratch and (C, 8g, 128) accumulator under the 16 MB default
   # limit. On-chip-exercised points (PERF.md round 3): g=1 cb=144 either
@@ -89,6 +93,13 @@ def _max_channel_block(plane_dtype, g: int) -> int:
   # (~13.7 MB total) / cb=96 f32 (~12 MB total). Taller groups shrink the
   # block so scratch stays within the g=4 budget (window rows and
   # accumulator scale ~linearly with g).
+  if emit_planes:
+    # Same byte budget as the primal-mode cap at this g; the extra
+    # accumulator/output pair shrinks the channel block instead of
+    # overflowing VMEM.
+    budget = (_max_channel_block(plane_dtype, g) *
+              _scratch_bytes_per_channel(plane_dtype, g))
+    return max(8, budget // _scratch_bytes_per_channel(plane_dtype, g, True))
   if g <= 2:
     return 144
   base = 144 if plane_dtype == jnp.bfloat16 else 96
@@ -122,8 +133,23 @@ def _round_up(x: int, m: int) -> int:
 
 def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
                         planes, out_ref, win, winf_ref, acc_ref, sem,
-                        *, cb: int, cp: int, n_sp: int, n_tx: int, g: int):
+                        *, cb: int, cp: int, n_sp: int, n_tx: int, g: int,
+                        cgx_ref=None, cgy_ref=None, du_ref=None, dv_ref=None,
+                        du_acc=None, dv_acc=None):
   """One (cb, 8g, 128) output group against windowed source.
+
+  PLANES MODE (du_ref is not None — the VJP's forward): instead of the
+  primal output, the kernel emits the two flow-derivative planes du =
+  d out/d flow_x and dv = d out/d flow_y, accumulated from the SAME
+  window taps with the derivative weights (x-tap difference for du, row
+  tap sign for dv) and scaled by the per-pixel clip gradients cgx/cgy
+  (computed on the XLA side from the raw fractional offsets — 1 inside
+  (0, 1), 0.5 at the clip boundary, 0 outside, JAX's min/max tie rule,
+  exactly ops.warp._raw_and_planes). This lets the window warp's
+  backward avoid re-running the gather formulation (two serialized XLA
+  gathers per site, ~55 ms of a 305 ms train step in the round-5
+  profile) — the planes come from the same window-DMA machinery at the
+  kernel's streaming rate.
 
   Args:
     by_ref/bx_ref: scalar-prefetch (B * n_sp,) int32 — per (sample,
@@ -155,6 +181,7 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       loop-carried register accumulator at this block size).
     sem: (3,) DMA semaphores, one per window slot.
   """
+  planes_mode = du_ref is not None
   b = pl.program_id(0)
   ci = pl.program_id(1)
   tg = pl.program_id(2)
@@ -261,8 +288,12 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       lx = ix[s * _TH:(s + 1) * _TH] - wx0
       lx0 = jnp.clip(lx, 0, _TW - 1)
       lx1 = jnp.clip(lx + 1, 0, _TW - 1)
-      w0m = jnp.where((lx >= 0) & (lx < _TW), 1.0 - ax_s, 0.0)
-      w1m = jnp.where((lx + 1 >= 0) & (lx + 1 < _TW), ax_s, 0.0)
+      m0 = (lx >= 0) & (lx < _TW)
+      m1 = (lx + 1 >= 0) & (lx + 1 < _TW)
+      w0m = jnp.where(m0, 1.0 - ax_s, 0.0)
+      w1m = jnp.where(m1, ax_s, 0.0)
+      m0f = m0.astype(jnp.float32)
+      m1f = m1.astype(jnp.float32)
 
       # Channels collapse into the sublane axis so each shift is ONE 2-D
       # lane-gather over all channels (Mosaic supports only 2-D gathers,
@@ -277,19 +308,33 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
       lx1b = tile_channels(lx1)
 
       def d_body(d, _, s=s, dy_s=dy_s, wy_tap0=wy_tap0, ay_s=ay_s,
-                 w0m=w0m, w1m=w1m, lx0b=lx0b, lx1b=lx1b, wy0=wy0,
-                 my_slot=my_slot):
+                 w0m=w0m, w1m=w1m, m0f=m0f, m1f=m1f, lx0b=lx0b, lx1b=lx1b,
+                 wy0=wy0, my_slot=my_slot):
         # Row-tap weight for this shift, shared by every channel: source
         # row tg_row + 8s + i + d serves output row i via tap0 (dy == d)
         # or tap1 (dy == d - 1).
         wy = (jnp.where(dy_s == d, wy_tap0, 0.0) +
               jnp.where(dy_s == d - 1, ay_s, 0.0))
-        w0 = w0m * wy
-        w1 = w1m * wy
+        if planes_mode:
+          # Derivative weights from the SAME taps: du sums the x-tap
+          # DIFFERENCE (d/d ax of the x-lerp) under the primal row
+          # weight; dv sums the x-blended taps under the row SIGN
+          # (-tap0 +tap1, the d/d ay of the row lerp). Tap-existence
+          # masks are the window's own; the skip predicate must not use
+          # the primal weights (ax == 0 or ay == 0 zero w0/w1 but not
+          # the derivative contributions).
+          sgn = (jnp.where(dy_s == d, -1.0, 0.0) +
+                 jnp.where(dy_s == d - 1, 1.0, 0.0))
+          cond = jnp.any(((dy_s == d) | (dy_s == d - 1)) &
+                         ((m0f + m1f) > 0.0))
+        else:
+          w0 = w0m * wy
+          w1 = w1m * wy
+          cond = jnp.any((w0 > 0.0) | (w1 > 0.0))
 
         # Motion boundaries make dy bimodal: most shifts in [d_lo, d_hi)
         # contribute nothing; skip their loads and gathers entirely.
-        @pl.when(jnp.any((w0 > 0.0) | (w1 > 0.0)))
+        @pl.when(cond)
         def _():
           row = tg_row + s * _TH + d - wy0
           if needs_expand:
@@ -301,17 +346,31 @@ def _warp_window_kernel(by_ref, bx_ref, iy_ref, ix_ref, ay_ref, ax_ref,
               cb, _TH, _TW)
           g1 = jnp.take_along_axis(src, lx1b, axis=1).reshape(
               cb, _TH, _TW)
-          acc_ref[:, s * _TH:(s + 1) * _TH, :] += (
-              w0[None] * g0 + w1[None] * g1)
+          if planes_mode:
+            du_acc[:, s * _TH:(s + 1) * _TH, :] += (
+                (m1f * wy)[None] * g1 - (m0f * wy)[None] * g0)
+            dv_acc[:, s * _TH:(s + 1) * _TH, :] += (
+                (w0m * sgn)[None] * g0 + (w1m * sgn)[None] * g1)
+          else:
+            acc_ref[:, s * _TH:(s + 1) * _TH, :] += (
+                w0[None] * g0 + w1[None] * g1)
 
         return 0
 
       jax.lax.fori_loop(d_lo, d_hi, d_body, 0)
     return 0
 
-  acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+  if planes_mode:
+    du_acc[...] = jnp.zeros(du_acc.shape, du_acc.dtype)
+    dv_acc[...] = jnp.zeros(dv_acc.shape, dv_acc.dtype)
+  else:
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
   jax.lax.fori_loop(0, n_w, window_body, 0)
-  out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+  if planes_mode:
+    du_ref[0] = (du_acc[...] * cgx_ref[0][None]).astype(du_ref.dtype)
+    dv_ref[0] = (dv_acc[...] * cgy_ref[0][None]).astype(dv_ref.dtype)
+  else:
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 def _group_window_bases(iy: jnp.ndarray, ix: jnp.ndarray,
@@ -337,16 +396,19 @@ def _group_window_bases(iy: jnp.ndarray, ix: jnp.ndarray,
   return by.reshape(-1).astype(jnp.int32), bx.reshape(-1).astype(jnp.int32)
 
 
-def _channel_block(c: int, plane_dtype, g: int) -> int:
-  cap = _max_channel_block(plane_dtype, g)
+def _channel_block(c: int, plane_dtype, g: int,
+                   emit_planes: bool = False) -> int:
+  cap = _max_channel_block(plane_dtype, g, emit_planes)
   n_blocks = -(-c // cap)
   return -(-c // n_blocks)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'g', 'clamp_h'))
+@functools.partial(jax.jit, static_argnames=('interpret', 'g', 'clamp_h',
+                                             'emit_planes'))
 def _forward(image: jnp.ndarray, flow: jnp.ndarray,
              interpret: bool = False, g: int = 1,
-             row_offset=0, src_row0=0, clamp_h=None) -> jnp.ndarray:
+             row_offset=0, src_row0=0, clamp_h=None,
+             emit_planes: bool = False) -> jnp.ndarray:
   """Warp for a batch: image (B, H, W, C), flow (B, Hout, W, 2).
 
   The whole batch runs as ONE pallas_call: the grid gains a leading batch
@@ -373,10 +435,21 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
   # coordinates (bit-identical maps to the full-frame path), then only
   # the integer row corners shift into extension space. The caller
   # guarantees every shifted corner (and its +1 tap) is materialized.
-  iy, ix, ay, ax = _query_coords(h if clamp_h is None else clamp_h, w,
-                                 flow, row_offset)
+  iy, ix, ay, ax, ty, tx_raw = _query_coords_full(
+      h if clamp_h is None else clamp_h, w, flow, row_offset)
   if clamp_h is not None:
     iy = iy - src_row0
+  if emit_planes:
+    # Per-pixel clip gradients of the raw fractional offsets (ops.warp.
+    # _raw_and_planes's clip_grad): 1 strictly inside (0, 1), 0.5 at the
+    # boundary (JAX's min/max tie rule), 0 outside. Applied by the kernel
+    # when the derivative planes are emitted.
+    def _clip_grad(t):
+      inner = ((t > 0.0) & (t < 1.0)).astype(jnp.float32)
+      edge = ((t == 0.0) | (t == 1.0)).astype(jnp.float32)
+      return inner + 0.5 * edge
+    cgx = _clip_grad(tx_raw)
+    cgy = _clip_grad(ty)
 
   gh = g * _TH
   hp = _round_up(h_out, gh)
@@ -389,6 +462,9 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
   ix = jnp.pad(ix, pads, mode='edge')
   ay = jnp.pad(ay, pads, mode='edge')
   ax = jnp.pad(ax, pads, mode='edge')
+  if emit_planes:
+    cgx = jnp.pad(cgx, pads, mode='edge')
+    cgy = jnp.pad(cgy, pads, mode='edge')
   by, bx = jax.vmap(functools.partial(_group_window_bases, n_tg=n_tg,
                                       n_tx=n_tx, g=g))(iy, ix)
   by = by.reshape(-1)
@@ -396,7 +472,7 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
 
   plane_dtype = (image.dtype if jnp.issubdtype(image.dtype, jnp.floating)
                  else jnp.float32)
-  cb = _channel_block(c, plane_dtype, g)
+  cb = _channel_block(c, plane_dtype, g, emit_planes)
   cp = _round_up(c, cb)
   # Planar source in the IMAGE dtype (bf16 halves the dominant window/
   # transpose HBM traffic on this ~139 GB/s chip; f32 images behave as
@@ -414,35 +490,65 @@ def _forward(image: jnp.ndarray, flow: jnp.ndarray,
 
   n_sp = n_tg * n_tx
   needs_expand = plane_dtype != jnp.float32
-  if needs_expand:
-    kernel = functools.partial(_warp_window_kernel, cb=cb, cp=cp,
-                               n_sp=n_sp, n_tx=n_tx, g=g)
+  base = functools.partial(_warp_window_kernel, cb=cb, cp=cp,
+                           n_sp=n_sp, n_tx=n_tx, g=g)
+  # f32 planes read straight from the window slot; don't reserve the
+  # (cb, 8g+16, 128) f32 expansion scratch the kernel would never
+  # touch (it costs VMEM headroom the triple-buffered windows rely on).
+  if emit_planes:
+    if needs_expand:
+      def kernel(by, bx, iy, ix, ay, ax, cgx, cgy, planes, du, dv,
+                 win, winf, dua, dva, sem):
+        base(by, bx, iy, ix, ay, ax, planes, None, win, winf, None, sem,
+             cgx_ref=cgx, cgy_ref=cgy, du_ref=du, dv_ref=dv,
+             du_acc=dua, dv_acc=dva)
+    else:
+      def kernel(by, bx, iy, ix, ay, ax, cgx, cgy, planes, du, dv,
+                 win, dua, dva, sem):
+        base(by, bx, iy, ix, ay, ax, planes, None, win, None, None, sem,
+             cgx_ref=cgx, cgy_ref=cgy, du_ref=du, dv_ref=dv,
+             du_acc=dua, dv_acc=dva)
+  elif needs_expand:
+    kernel = base
   else:
-    # f32 planes read straight from the window slot; don't reserve the
-    # (cb, 8g+16, 128) f32 expansion scratch the kernel would never
-    # touch (it costs VMEM headroom the triple-buffered windows rely on).
     def kernel(by, bx, iy, ix, ay, ax, planes, out, win, acc, sem):
-      _warp_window_kernel(by, bx, iy, ix, ay, ax, planes, out, win, None,
-                          acc, sem, cb=cb, cp=cp, n_sp=n_sp, n_tx=n_tx, g=g)
+      base(by, bx, iy, ix, ay, ax, planes, out, win, None, acc, sem)
   idx_spec = pl.BlockSpec((1, gh, _TW),
                           lambda b, ci, tg, tx, *refs: (b, tg, tx))
+  out_spec = pl.BlockSpec((1, cb, gh, _TW),
+                          lambda b, ci, tg, tx, *refs: (b, ci, tg, tx))
+  out_struct = jax.ShapeDtypeStruct((bsz, cp, hp, wp), out_dtype)
+  n_idx = 6 if emit_planes else 4
+  acc_structs = [pltpu.VMEM((cb, gh, _TW), jnp.float32)] * (
+      2 if emit_planes else 1)
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=2,
       grid=(bsz, cp // cb, n_tg, n_tx),
-      in_specs=[idx_spec, idx_spec, idx_spec, idx_spec,
-                pl.BlockSpec(memory_space=pl.ANY)],
-      out_specs=pl.BlockSpec((1, cb, gh, _TW),
-                             lambda b, ci, tg, tx, *refs: (b, ci, tg, tx)),
+      in_specs=[idx_spec] * n_idx + [pl.BlockSpec(memory_space=pl.ANY)],
+      out_specs=[out_spec, out_spec] if emit_planes else out_spec,
       scratch_shapes=(
           [pltpu.VMEM((3, cb, _win_h(g), _TW), plane_dtype)] +
           ([pltpu.VMEM((cb, _win_h(g), _TW), jnp.float32)]
            if needs_expand else []) +
-          [pltpu.VMEM((cb, gh, _TW), jnp.float32),
-           pltpu.SemaphoreType.DMA((3,))]))
+          acc_structs +
+          [pltpu.SemaphoreType.DMA((3,))]))
+  if emit_planes:
+    # The VJP's forward: emit the flow-derivative planes (in the float
+    # compute dtype — grads only flow through float trees) instead of
+    # the primal, from the same windows/taps.
+    plane_struct = jax.ShapeDtypeStruct((bsz, cp, hp, wp), plane_dtype)
+    du, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[plane_struct, plane_struct],
+        interpret=interpret,
+    )(by, bx, iy, ix, ay, ax, cgx, cgy, planes)
+    return (jnp.transpose(du[:, :c, :h_out, :w], (0, 2, 3, 1)),
+            jnp.transpose(dv[:, :c, :h_out, :w], (0, 2, 3, 1)))
   out = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=jax.ShapeDtypeStruct((bsz, cp, hp, wp), out_dtype),
+      out_shape=out_struct,
       interpret=interpret,
   )(by, bx, iy, ix, ay, ax, planes)
   return jnp.transpose(out[:, :c, :h_out, :w], (0, 2, 3, 1))
@@ -470,15 +576,31 @@ def _fwd(image, flow, interpret):
           (image, flow))
 
 
+# Window-warp backward formulation (A/B knob, read once at import):
+#   'planes' (default): the backward computes the flow-derivative planes
+#     with the window kernel itself (emit_planes mode — same windows,
+#     derivative weights) and reduces them against the cotangent; the
+#     image cotangent goes to the splat kernels as before. No gathers.
+#   'regather': round-4 behavior — delegate to backward_warp's VJP, which
+#     re-runs the gather formulation's forward to rebuild the planes
+#     (2 serialized XLA gathers per site; ~55 ms of a 305 ms bs8/256px
+#     train step in the round-5 profile).
+_WINBWD_MODE = os.environ.get('FI_WARP_WINBWD', 'planes')
+
+
 def _bwd(interpret, residuals, g):
-  del interpret
   image, flow = residuals
-  # Identical math to the kernel. backward_warp's own custom VJP routes
-  # the image cotangent to the window-splat kernel on TPU (XLA's
-  # transpose-of-gather is a serialized scatter there — see
-  # ops/warp_splat.py) and keeps the plain scatter elsewhere.
-  _, vjp = jax.vjp(backward_warp, image, flow)
-  return vjp(g)
+  if _WINBWD_MODE != 'planes':
+    # Identical math via backward_warp's own custom VJP (which routes
+    # the image cotangent to the window-splat kernel on TPU and keeps
+    # the plain scatter elsewhere).
+    _, vjp = jax.vjp(backward_warp, image, flow)
+    return vjp(g)
+  du, dv = _forward(image, flow, interpret, g=_group_from_env(),
+                    emit_planes=True)
+  g_flow = flow_cotangent_from_planes(g, du, dv, flow.dtype)
+  g_image = image_cotangent(g, flow, image)
+  return g_image, g_flow
 
 
 backward_warp_window.defvjp(_fwd, _bwd)

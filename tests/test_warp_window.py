@@ -219,3 +219,87 @@ def test_pair_impl_matches_separate_calls(monkeypatch):
   sep1 = warp_window.backward_warp_window(img1, f1, True)
   np.testing.assert_array_equal(np.asarray(both[:b]), np.asarray(sep0))
   np.testing.assert_array_equal(np.asarray(both[b:]), np.asarray(sep1))
+
+
+class TestPlanesVjp:
+  """The emit_planes kernel mode and the window warp's planes backward.
+
+  The round-5 profile showed the round-4 backward (delegate to the
+  gather formulation's VJP) re-paying two serialized XLA gathers per
+  site (~55 ms of a 305 ms bs8/256px train step); the backward now
+  computes du/dv with the window machinery itself and must match the
+  gather formulation's planes and gradients exactly.
+  """
+
+  def test_planes_match_raw_and_planes(self):
+    rng = np.random.RandomState(3)
+    for dtype, atol in [(jnp.float32, 1e-5), (jnp.bfloat16, 1 / 64)]:
+      img = jnp.asarray(rng.rand(2, 40, 256, 5), dtype)
+      flow = jnp.asarray(rng.randn(2, 40, 256, 2) * 6.0, jnp.float32)
+      # Exact-integer offsets (clip-gradient tie rule) and far
+      # out-of-bounds queries (zero clip gradient) in the same batch.
+      flow = flow.at[:, :4].set(jnp.round(flow[:, :4]))
+      flow = flow.at[:, 4:6].set(500.0)
+      flow = flow.at[:, 6:8].set(-500.0)
+      _, du_ref, dv_ref = warp._raw_and_planes(img, flow)
+      du, dv = warp_window._forward(img, flow, True,
+                                    g=warp_window._group_from_env(),
+                                    emit_planes=True)
+      np.testing.assert_allclose(np.asarray(du, np.float32),
+                                 np.asarray(du_ref, np.float32), atol=atol)
+      np.testing.assert_allclose(np.asarray(dv, np.float32),
+                                 np.asarray(dv_ref, np.float32), atol=atol)
+
+  def test_grads_match_gather_vjp(self):
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.rand(2, 32, 256, 4), jnp.float32)
+    flow = jnp.asarray(rng.randn(2, 32, 256, 2) * 5.0, jnp.float32)
+    ct = jnp.asarray(rng.randn(2, 32, 256, 4), jnp.float32)
+
+    gi_w, gf_w = jax.grad(
+        lambda i, f: jnp.sum(warp_window.backward_warp_window(i, f, True)
+                             * ct), argnums=(0, 1))(img, flow)
+    gi_r, gf_r = jax.grad(
+        lambda i, f: jnp.sum(warp.backward_warp(i, f) * ct),
+        argnums=(0, 1))(img, flow)
+    np.testing.assert_allclose(np.asarray(gi_w), np.asarray(gi_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_r),
+                               atol=1e-4)
+
+  def test_regather_mode_matches_planes_mode(self, monkeypatch):
+    # FI_WARP_WINBWD=regather keeps the round-4 backward as the A/B
+    # control; both must produce the same gradients.
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(1, 24, 256, 3), jnp.float32)
+    flow = jnp.asarray(rng.randn(1, 24, 256, 2) * 4.0, jnp.float32)
+    ct = jnp.asarray(rng.randn(1, 24, 256, 3), jnp.float32)
+
+    def grads():
+      return jax.grad(
+          lambda i, f: jnp.sum(warp_window.backward_warp_window(i, f, True)
+                               * ct), argnums=(0, 1))(img, flow)
+
+    gi_p, gf_p = grads()
+    monkeypatch.setattr(warp_window, '_WINBWD_MODE', 'regather')
+    gi_r, gf_r = grads()
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r),
+                               atol=1e-4)
+
+  def test_planes_channel_blocking(self, monkeypatch):
+    # Multiple channel blocks (ci grid dim) in planes mode: same du/dv.
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.rand(1, 16, 128, 5), jnp.float32)
+    flow = jnp.asarray(rng.randn(1, 16, 128, 2) * 3.0, jnp.float32)
+    _, du_ref, dv_ref = warp._raw_and_planes(img, flow)
+    monkeypatch.setattr(warp_window, '_max_channel_block',
+                        lambda *a, **k: 2)
+    du, dv = warp_window._forward(img, flow, True,
+                                  g=warp_window._group_from_env(),
+                                  emit_planes=True)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               atol=1e-5)
